@@ -1,0 +1,97 @@
+"""Config system tests: defaults, _BASE_ inheritance, CLI overrides, freeze."""
+import os
+
+import pytest
+
+from omni3d_tpu.config.cfg import CfgNode
+from omni3d_tpu.config.defaults import get_default_cfg
+from omni3d_tpu.data.builtin import get_omni3d_categories
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_defaults_have_reference_keys():
+    cfg = get_default_cfg()
+    # spot-check the cubercnn-specific namespace (reference config.py:4-159)
+    assert cfg.MODEL.ROI_CUBE_HEAD.Z_TYPE == "direct"
+    assert cfg.MODEL.ROI_CUBE_HEAD.POSE_TYPE == "6d"
+    assert cfg.MODEL.ROI_CUBE_HEAD.VIRTUAL_FOCAL == 512.0
+    assert cfg.MODEL.RPN.OBJECTNESS_UNCERTAINTY == "IoUness"
+    assert cfg.MODEL.STABILIZE == 0.01
+    assert cfg.SOLVER.TYPE == "sgd"
+
+
+def test_base_inheritance_chain():
+    cfg = get_default_cfg()
+    cfg.merge_from_file(os.path.join(CONFIGS, "cubercnn_DLA34_FPN.yaml"))
+    # from Base_Omni3D.yaml
+    assert cfg.SOLVER.IMS_PER_BATCH == 192
+    assert cfg.SOLVER.BASE_LR == 0.12
+    assert cfg.SOLVER.MAX_ITER == 116000
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 50
+    # from Base.yaml
+    assert cfg.MODEL.RPN.POSITIVE_FRACTION == 1.0
+    assert cfg.MODEL.RPN.IOU_THRESHOLDS == [0.05, 0.05]
+    assert cfg.MODEL.STABILIZE == 0.02
+    # leaf
+    assert cfg.MODEL.DLA.TYPE == "dla34"
+    # tuple-typed values parsed from yaml strings
+    assert cfg.SOLVER.STEPS == (69600, 92800)
+    assert len(cfg.DATASETS.TRAIN) == 12
+    assert len(cfg.DATASETS.CATEGORY_NAMES) == 50
+    assert len(cfg.INPUT.MIN_SIZE_TRAIN) == 25
+
+
+def test_merge_from_list():
+    cfg = get_default_cfg()
+    cfg.merge_from_list(["SOLVER.BASE_LR", "0.5", "MODEL.ROI_HEADS.NUM_CLASSES", "7"])
+    assert cfg.SOLVER.BASE_LR == 0.5
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 7
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["NO.SUCH.KEY", "1"])
+
+
+def test_freeze():
+    cfg = get_default_cfg()
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.SOLVER.BASE_LR = 1.0
+    cfg.defrost()
+    cfg.SOLVER.BASE_LR = 1.0
+    assert cfg.SOLVER.BASE_LR == 1.0
+
+
+def test_clone_independent():
+    cfg = get_default_cfg()
+    c2 = cfg.clone()
+    c2.SOLVER.BASE_LR = 99.0
+    assert cfg.SOLVER.BASE_LR != 99.0
+
+
+def test_dump_round_trip(tmp_path):
+    cfg = get_default_cfg()
+    p = tmp_path / "cfg.yaml"
+    cfg.save(str(p))
+    cfg2 = get_default_cfg()
+    cfg2.SOLVER.BASE_LR = -1.0
+    cfg2.merge_from_file(str(p))
+    assert cfg2.SOLVER.BASE_LR == cfg.SOLVER.BASE_LR
+
+
+def test_builtin_categories():
+    assert len(get_omni3d_categories("omni3d")) == 50
+    assert len(get_omni3d_categories("omni3d_in")) == 38
+    assert len(get_omni3d_categories("omni3d_out")) == 11
+    assert len(get_omni3d_categories("Hypersim_test")) == 28
+    assert get_omni3d_categories("omni3d_in") | get_omni3d_categories("omni3d_out") <= get_omni3d_categories("omni3d")
+    with pytest.raises(ValueError):
+        get_omni3d_categories("nope")
+
+
+def test_all_yaml_configs_load():
+    cfg_names = [f for f in os.listdir(CONFIGS) if f.endswith(".yaml")]
+    assert len(cfg_names) == 9
+    for name in cfg_names:
+        cfg = get_default_cfg()
+        cfg.merge_from_file(os.path.join(CONFIGS, name))
+        assert cfg.MODEL.META_ARCHITECTURE == "RCNN3D"
