@@ -1,0 +1,93 @@
+"""Fixed-shape greedy NMS for TPU.
+
+TPU-native replacement for torchvision's CUDA `nms` / detectron2 `batched_nms`
+(reference binding sites: cubercnn/modeling/roi_heads/fast_rcnn.py:105,
+meta_arch/rcnn3d.py:207, and detectron2 find_top_rpn_proposals; SURVEY §2.3 N2).
+
+Exact sequential-greedy semantics are preserved (a box is suppressed only by a
+*kept* higher-scoring box), but over padded, static-size inputs: callers pass
+score = -inf (or valid=False) for padding and get back a fixed-size keep set.
+The O(N^2) IoU matrix is computed once on the VPU; the greedy pass is a
+`fori_loop` over rows, which XLA compiles to a tight on-chip loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils import boxes as box_ops
+
+NEG_INF = -1e10
+
+
+def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+             valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Greedy NMS; returns a boolean keep mask aligned with the inputs.
+
+    Args:
+      boxes: (N, 4) XYXY.
+      scores: (N,). Padding rows should carry score <= NEG_INF or valid=False.
+      iou_threshold: suppress boxes with IoU > threshold vs a kept box.
+      valid: optional (N,) bool; invalid rows are never kept.
+    """
+    n = boxes.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+
+    order = jnp.argsort(-scores)  # descending, stable
+    boxes_s = jnp.take(boxes, order, axis=0)
+    valid_s = scores[order] > NEG_INF / 2
+
+    iou = box_ops.pairwise_iou(boxes_s, boxes_s)
+    suppress_mat = iou > iou_threshold  # (N, N)
+    idx = jnp.arange(n)
+
+    def body(i, keep):
+        # if row i is still kept, it suppresses all later rows above threshold
+        row = suppress_mat[i] & (idx > i)
+        return jnp.where(keep[i], keep & ~row, keep)
+
+    keep_sorted = lax.fori_loop(0, n, body, valid_s)
+
+    # scatter back to input order
+    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms_indices(boxes, scores, iou_threshold, max_out: int,
+                valid=None):
+    """Greedy NMS returning the top `max_out` kept indices in score order.
+
+    Returns (indices (max_out,) int32, keep_valid (max_out,) bool). Padding
+    slots point at index 0 with keep_valid False.
+    """
+    n = boxes.shape[0]
+    keep = nms_mask(boxes, scores, iou_threshold, valid)
+    masked = jnp.where(keep, scores, NEG_INF)
+    k = min(max_out, n)
+    top_scores, top_idx = lax.top_k(masked, k)
+    out_valid = top_scores > NEG_INF / 2
+    top_idx = jnp.where(out_valid, top_idx, 0)
+    if k < max_out:
+        top_idx = jnp.pad(top_idx, (0, max_out - k))
+        out_valid = jnp.pad(out_valid, (0, max_out - k))
+    return top_idx.astype(jnp.int32), out_valid
+
+
+def batched_nms_mask(boxes, scores, idxs, iou_threshold, valid=None):
+    """Class/level-aware NMS via the coordinate-offset trick
+    (detectron2 batched_nms): boxes of different `idxs` never suppress
+    each other. Shapes as `nms_mask`, idxs (N,) int."""
+    max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, iou_threshold, valid)
+
+
+def batched_nms_indices(boxes, scores, idxs, iou_threshold, max_out, valid=None):
+    """Class/level-aware NMS returning top `max_out` kept indices."""
+    max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms_indices(shifted, scores, iou_threshold, max_out, valid)
