@@ -114,6 +114,56 @@ class CfgNode(dict):
             f.write(self.dump())
 
 
+class StaticCfg:
+    """Hashable, immutable attribute view of a CfgNode.
+
+    flax.linen rewrites dict-typed module attributes into FrozenDicts (losing
+    attribute access), and `jax.jit` static arguments must be hashable — this
+    wrapper satisfies both, so a whole config can ride on a Module/static arg.
+    """
+
+    __slots__ = ("_node", "_key")
+
+    def __init__(self, node):
+        object.__setattr__(self, "_node", node)
+        object.__setattr__(self, "_key", _freeze_key(node))
+
+    def __getattr__(self, name):
+        try:
+            v = object.__getattribute__(self, "_node")[name]
+        except KeyError:
+            raise AttributeError(f"Config key not found: {name}") from None
+        return StaticCfg(v) if isinstance(v, dict) else v
+
+    def __getitem__(self, name):
+        return self.__getattr__(name)
+
+    def __contains__(self, name):
+        return name in object.__getattribute__(self, "_node")
+
+    def __setattr__(self, name, value):
+        raise AttributeError("StaticCfg is immutable")
+
+    def __hash__(self):
+        return hash(object.__getattribute__(self, "_key"))
+
+    def __eq__(self, other):
+        return isinstance(other, StaticCfg) and object.__getattribute__(
+            self, "_key"
+        ) == object.__getattribute__(other, "_key")
+
+    def node(self) -> "CfgNode":
+        return object.__getattribute__(self, "_node")
+
+
+def _freeze_key(node):
+    if isinstance(node, dict):
+        return tuple((k, _freeze_key(v)) for k, v in sorted(node.items()))
+    if isinstance(node, (list, tuple)):
+        return tuple(_freeze_key(v) for v in node)
+    return node
+
+
 def _to_plain(node):
     if isinstance(node, CfgNode):
         return {k: _to_plain(v) for k, v in node.items()}

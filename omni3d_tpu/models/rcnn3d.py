@@ -1,0 +1,274 @@
+"""Cube R-CNN meta-architecture, TPU-native.
+
+Functional equivalent of the reference RCNN3D
+(cubercnn/modeling/meta_arch/rcnn3d.py:25-272) with the detectron2 plumbing it
+inherits (preprocess/postprocess, proposal flow). Re-designed for XLA:
+
+  * one linen module holds all parameters (backbone, FPN, RPN head, box head,
+    box predictor, cube head, prior buffers),
+  * the inference pipeline is a single pure function over padded static-shape
+    batches — proposals, detections and cubes are fixed-size masked tensors,
+  * per-image intrinsics ride through the graph as a (B, 3, 3) tensor
+    (reference threads python lists of K, rcnn3d.py:50-53).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.roi_align import multilevel_roi_align
+from ..utils import boxes as box_ops
+from . import anchors as anchor_lib
+from .dla import DLA, dla_out_channels
+from .fpn import FPN
+from .heads import BoxHead, CubeHead, FastRCNNPredictor, decode_cube, fast_rcnn_inference, select_per_class
+from .resnet import ResNet, resnet_out_channels
+from .rpn import RPNHead, select_proposals
+
+FEATURE_NAMES = ("p2", "p3", "p4", "p5", "p6")
+FEATURE_STRIDES = (4, 8, 16, 32, 64)
+
+
+def build_bottom_up(cfg, train: bool, dtype):
+    """Backbone registry keyed by the reference builder names
+    (reference rcnn3d.py:259-272 build_backbone + BACKBONE_REGISTRY)."""
+    name = cfg.MODEL.BACKBONE.NAME
+    if name == "build_dla_from_vision_fpn_backbone":
+        variant = cfg.MODEL.DLA.TYPE
+        return DLA(variant=variant, train=train, dtype=dtype), dla_out_channels(variant)
+    if name == "build_resnet_from_vision_fpn_backbone":
+        depth = cfg.MODEL.RESNETS.DEPTH
+        return ResNet(depth=depth, train=train, dtype=dtype), resnet_out_channels(depth)
+    raise ValueError(f"Unknown backbone builder {name}")
+
+
+class CubeRCNN(nn.Module):
+    """All Cube R-CNN parameters in one module.
+
+    `priors` (dims mean/std per class, z cluster stats) become parameters,
+    matching the reference which registers them as nn.Parameters
+    (roi_heads.py:117-143) so they travel with checkpoints.
+    """
+
+    cfg: Any
+    train_mode: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        C = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        self.num_classes = C
+        bottom_up, _ = build_bottom_up(cfg, self.train_mode, self.dtype)
+        self.backbone = bottom_up
+        self.fpn = FPN(
+            in_features=tuple(cfg.MODEL.FPN.IN_FEATURES),
+            out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+            fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
+            dtype=self.dtype,
+        )
+        num_anchors = len(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]) * len(
+            cfg.MODEL.ANCHOR_GENERATOR.SIZES[0]
+        )
+        self.rpn_head = RPNHead(num_anchors=num_anchors, conv_dim=cfg.MODEL.FPN.OUT_CHANNELS,
+                                dtype=self.dtype)
+        self.box_head = BoxHead(fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+                                num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC, dtype=self.dtype)
+        self.box_predictor = FastRCNNPredictor(num_classes=C, dtype=self.dtype)
+        self.cube_head = CubeHead(
+            num_classes=C,
+            pose_type=cfg.MODEL.ROI_CUBE_HEAD.POSE_TYPE,
+            cluster_bins=cfg.MODEL.ROI_CUBE_HEAD.CLUSTER_BINS,
+            shared_fc=cfg.MODEL.ROI_CUBE_HEAD.SHARED_FC,
+            use_conf=cfg.MODEL.ROI_CUBE_HEAD.USE_CONFIDENCE > 0,
+            num_fc=cfg.MODEL.ROI_CUBE_HEAD.NUM_FC,
+            fc_dim=cfg.MODEL.ROI_CUBE_HEAD.FC_DIM,
+            dtype=self.dtype,
+        )
+        # prior buffers (reference roi_heads.py:117-143)
+        self.priors_dims_per_cat = self.param(
+            "priors_dims_per_cat", lambda k: jnp.ones((C, 2, 3), jnp.float32)
+        )
+        bins = max(cfg.MODEL.ROI_CUBE_HEAD.CLUSTER_BINS, 1)
+        self.priors_z_scales = self.param(
+            "priors_z_scales", lambda k: jnp.ones((C, bins), jnp.float32)
+        )
+        self.priors_z_stats = self.param(
+            "priors_z_stats", lambda k: jnp.ones((C, bins, 2), jnp.float32)
+        )
+
+    # ---- sub-forward methods (each usable via model.apply(..., method=...)) ----
+    def features(self, images):
+        return self.fpn(self.backbone(images))
+
+    def rpn(self, feats: Sequence[jnp.ndarray]):
+        return self.rpn_head(feats)
+
+    def box_branch(self, pooled):
+        return self.box_predictor(self.box_head(pooled))
+
+    def cube_branch(self, pooled):
+        return self.cube_head(pooled)
+
+    def prior_params(self):
+        return self.priors_dims_per_cat, self.priors_z_scales, self.priors_z_stats
+
+    def __call__(self, images):
+        # init-time touch of every submodule so init() creates all params
+        feats = self.features(images)
+        flist = [feats[f] for f in FEATURE_NAMES]
+        self.rpn(flist)
+        c = self.fpn.out_channels
+        dummy = jnp.zeros((1, 7, 7, c), self.dtype)
+        self.box_branch(dummy)
+        self.cube_branch(dummy)
+        self.prior_params()
+        return feats
+
+
+def preprocess(images_bgr: jnp.ndarray, pixel_mean, pixel_std) -> jnp.ndarray:
+    """(B, H, W, 3) BGR uint8/float -> normalized float (reference inherits
+    GeneralizedRCNN.preprocess_image; means/std configs/Base.yaml:35-36)."""
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
+    return (images_bgr.astype(jnp.float32) - mean) / std
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "score_thresh", "nms_thresh", "topk", "nms_candidates",
+                     "pre_nms_topk", "post_nms_topk", "rpn_nms_thresh", "sampling_ratio"),
+)
+def inference_step(params, model: CubeRCNN, images, Ks, im_scales_ratio,
+                   score_thresh=0.01, nms_thresh=0.5, topk=100, nms_candidates=1024,
+                   pre_nms_topk=1000, post_nms_topk=1000, rpn_nms_thresh=0.7,
+                   sampling_ratio=2):
+    """End-to-end Cube R-CNN inference on a padded batch.
+
+    Args:
+      params: model variables ({'params': ..., 'batch_stats': ...}).
+      images: (B, H, W, 3) normalized BGR at network resolution.
+      Ks: (B, 3, 3) ORIGINAL-resolution intrinsics.
+      im_scales_ratio: (B,) original_height / network_height.
+
+    Returns dict of per-image padded detections (see fast_rcnn_inference) plus
+      center_cam (B,K,3), dims (B,K,3), pose (B,K,3,3), corners (B,K,8,3),
+      center_2D (B,K,2 original-res), boxes_orig (B,K,4 original-res),
+      fused scores (reference roi_heads.py:796-819).
+    """
+    cfg = model.cfg
+    B, H, W, _ = images.shape
+    C = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+
+    feats = model.apply(params, images, method=CubeRCNN.features)
+    flist = [feats[f] for f in FEATURE_NAMES]
+    logits, deltas = model.apply(params, flist, method=CubeRCNN.rpn)
+
+    anchors = [
+        jnp.asarray(a)
+        for a in anchor_lib.pyramid_anchors(
+            [(f.shape[1], f.shape[2]) for f in flist],
+            FEATURE_STRIDES,
+            cfg.MODEL.ANCHOR_GENERATOR.SIZES,
+            cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
+            cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+        )
+    ]
+    image_hw = jnp.asarray([H, W], jnp.float32)
+
+    def per_image_proposals(args):
+        lg, dl = args
+        return select_proposals(anchors, lg, dl, image_hw, pre_nms_topk,
+                                post_nms_topk, rpn_nms_thresh)
+
+    prop_boxes, prop_scores, prop_valid = jax.vmap(per_image_proposals)(
+        ([l.astype(jnp.float32) for l in logits], [d.astype(jnp.float32) for d in deltas])
+    )
+
+    # ---- box branch ----
+    def pool_box(feats_i, boxes_i):
+        return multilevel_roi_align(feats_i, boxes_i, list(FEATURE_STRIDES),
+                                    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+                                    sampling_ratio)
+
+    pooled = jax.vmap(pool_box)([f.astype(jnp.float32) for f in flist], prop_boxes)
+    scores2d, deltas2d = model.apply(
+        params, pooled.reshape(B * post_nms_topk, *pooled.shape[2:]),
+        method=CubeRCNN.box_branch,
+    )
+    scores2d = scores2d.reshape(B, post_nms_topk, C + 1).astype(jnp.float32)
+    deltas2d = deltas2d.reshape(B, post_nms_topk, C * 4).astype(jnp.float32)
+
+    dets = jax.vmap(
+        lambda s, d, b, v: fast_rcnn_inference(
+            s, d, b, v, image_hw, C, score_thresh, nms_thresh, topk, nms_candidates,
+            tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        )
+    )(scores2d, deltas2d, prop_boxes, prop_valid)
+
+    # ---- cube branch ----
+    det_boxes = dets["boxes"]  # (B, K, 4) network-res
+    pooled_cube = jax.vmap(pool_box)([f.astype(jnp.float32) for f in flist], det_boxes)
+    cube_out = model.apply(
+        params, pooled_cube.reshape(B * topk, *pooled_cube.shape[2:]),
+        method=CubeRCNN.cube_branch,
+    )
+    cube_out = jax.tree.map(lambda t: t.astype(jnp.float32), cube_out)
+
+    priors_dims, priors_z_scales, priors_z_stats = model.apply(
+        params, method=CubeRCNN.prior_params
+    )
+
+    # per-box network-res intrinsics (reference roi_heads.py:374-396)
+    Ks_scaled = Ks / im_scales_ratio[:, None, None]
+    Ks_scaled = Ks_scaled.at[:, 2, 2].set(1.0)
+    Ks_per_box = jnp.broadcast_to(Ks_scaled[:, None], (B, topk, 3, 3)).reshape(-1, 3, 3)
+    fy_net = Ks_per_box[:, 1, 1]
+
+    ch_cfg = cfg.MODEL.ROI_CUBE_HEAD
+    cube = decode_cube(
+        cube_out,
+        dets["classes"].reshape(-1),
+        det_boxes.reshape(-1, 4),
+        Ks_per_box,
+        fy_net,
+        priors_dims,
+        z_type=ch_cfg.Z_TYPE,
+        virtual_depth=ch_cfg.VIRTUAL_DEPTH,
+        virtual_focal=ch_cfg.VIRTUAL_FOCAL,
+        dims_priors_enabled=ch_cfg.DIMS_PRIORS_ENABLED,
+        dims_priors_func=ch_cfg.DIMS_PRIORS_FUNC,
+        allocentric=ch_cfg.ALLOCENTRIC_POSE,
+        priors_z_stats=priors_z_stats,
+        priors_z_scales=priors_z_scales,
+        cluster_bins=ch_cfg.CLUSTER_BINS,
+    )
+
+    def r(t, shape):
+        return t.reshape((B, topk) + shape)
+
+    conf = jnp.exp(-cube["uncert"]) if cube["uncert"] is not None else jnp.ones(B * topk)
+    fused = jnp.sqrt(jnp.clip(dets["scores"] * r(conf, ()), 0.0))
+
+    ratio = im_scales_ratio[:, None, None]
+    out = {
+        "boxes": det_boxes,
+        "boxes_orig": dets["boxes"] * ratio,
+        "scores_2d": dets["scores"],
+        "scores": jnp.where(dets["valid"], fused, 0.0),
+        "classes": dets["classes"],
+        "valid": dets["valid"],
+        "scores_full": dets["scores_full"],
+        "center_cam": r(cube["center"], (3,)),
+        "dims": r(cube["dims"], (3,)),
+        "pose": r(cube["pose"], (3, 3)),
+        "corners": r(cube["corners"], (8, 3)),
+        "center_2D": r(cube["xy"], (2,)) * im_scales_ratio[:, None, None],
+        "proposal_boxes": prop_boxes,
+        "proposal_valid": prop_valid,
+    }
+    return out

@@ -1,0 +1,236 @@
+"""Region Proposal Network with ignore regions and IoUness objectness.
+
+TPU-native re-design of the reference RPNWithIgnore
+(reference cubercnn/modeling/proposal_generator/rpn.py:19-354) plus the
+detectron2 RPN machinery it inherits (StandardRPNHead, find_top_rpn_proposals;
+SURVEY §2.2). The detectron2 design is ragged (per-image lists, dynamic
+nonzero/multinomial); here everything is fixed-shape masked tensor math:
+
+  * matching runs on padded GT tensors with validity masks,
+  * `torch.multinomial` IoU-weighted sampling (rpn.py:317-324) becomes
+    Gumbel-top-k over log-weights — the exact same distribution,
+  * proposal selection does per-level top-k + NMS over padded candidates and
+    returns a fixed (POST_NMS_TOPK, 4) box set with a validity mask.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import nms as nms_ops
+from ..utils import boxes as box_ops
+
+NEG_INF = -1e10
+
+
+class RPNHead(nn.Module):
+    """detectron2 StandardRPNHead: shared 3x3 conv + 1x1 objectness/deltas."""
+
+    num_anchors: int
+    conv_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        conv = nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")
+        obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="objectness_logits")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="anchor_deltas")
+        logits, regs = [], []
+        for f in features:
+            t = nn.relu(conv(f))
+            n, h, w, _ = t.shape
+            logits.append(obj(t).reshape(n, h * w * self.num_anchors))
+            regs.append(deltas(t).reshape(n, h * w * self.num_anchors, 4))
+        return logits, regs
+
+
+# ------------------------- proposal selection -------------------------
+
+def select_proposals(anchors_per_level, logits_per_level, deltas_per_level,
+                     image_hw, pre_nms_topk: int, post_nms_topk: int,
+                     nms_thresh: float = 0.7):
+    """find_top_rpn_proposals, static-shape.
+
+    Args (single image):
+      anchors_per_level: list of (R_l, 4).
+      logits_per_level: list of (R_l,).
+      deltas_per_level: list of (R_l, 4).
+      image_hw: (2,) float (height, width) of the padded network input.
+
+    Returns: boxes (P, 4), scores (P,), valid (P,) with P = post_nms_topk.
+    """
+    all_boxes, all_scores, all_valid = [], [], []
+    for lvl, (anch, logit, delta) in enumerate(
+        zip(anchors_per_level, logits_per_level, deltas_per_level)
+    ):
+        k = min(pre_nms_topk, anch.shape[0])
+        top_scores, top_idx = lax.top_k(logit, k)
+        boxes = box_ops.decode_deltas(delta[top_idx], anch[top_idx])
+        boxes = box_ops.clip_boxes(boxes, image_hw[0], image_hw[1])
+        valid = box_ops.nonempty(boxes) & jnp.isfinite(top_scores)
+        # per-level NMS (levels never suppress each other)
+        keep = nms_ops.nms_mask(boxes, top_scores, nms_thresh, valid)
+        all_boxes.append(boxes)
+        all_scores.append(jnp.where(keep, top_scores, NEG_INF))
+        all_valid.append(keep)
+
+    boxes = jnp.concatenate(all_boxes, 0)
+    scores = jnp.concatenate(all_scores, 0)
+    p = min(post_nms_topk, scores.shape[0])
+    top_scores, top_idx = lax.top_k(scores, p)
+    out_boxes = boxes[top_idx]
+    out_valid = top_scores > NEG_INF / 2
+    if p < post_nms_topk:
+        pad = post_nms_topk - p
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=NEG_INF)
+        out_valid = jnp.pad(out_valid, (0, pad))
+    return out_boxes, top_scores, out_valid
+
+
+# ------------------------- training: matching + sampling -------------------------
+
+def gumbel_topk_mask(rng, log_weights, k, eligible):
+    """Select `k` items (traced scalar, k <= N) proportional to weights
+    without replacement (Gumbel-top-k == torch.multinomial w/o replacement).
+
+    Returns a bool mask. Ineligible rows are never selected.
+    """
+    g = -jnp.log(-jnp.log(jax.random.uniform(rng, log_weights.shape) + 1e-20) + 1e-20)
+    keys = jnp.where(eligible, log_weights + g, NEG_INF)
+    # rank in descending key order; selected iff rank < k
+    order = jnp.argsort(-keys)
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return (ranks < k) & eligible
+
+
+def match_anchors(anchors, gt_boxes, gt_valid, thresh: float = 0.05):
+    """IoU matching with detectron2 Matcher(+low-quality) semantics.
+
+    Args:
+      anchors: (R, 4); gt_boxes: (G, 4) padded; gt_valid: (G,) bool.
+    Returns:
+      matched_idx (R,) int32 into gt rows,
+      matched_iou (R,) float,
+      fg (R,) bool — IoU >= thresh OR anchor is the best for some valid gt.
+    """
+    iou = box_ops.pairwise_iou(gt_boxes, anchors)  # (G, R)
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    matched_idx = jnp.argmax(iou, axis=0)
+    matched_iou = jnp.max(iou, axis=0)
+    has_gt = jnp.any(gt_valid)
+    matched_iou = jnp.where(has_gt, matched_iou, 0.0)
+
+    fg = matched_iou >= thresh
+    # low-quality matches: every anchor achieving a gt's best IoU
+    best_per_gt = jnp.max(iou, axis=1, keepdims=True)  # (G, 1)
+    is_best = (iou >= best_per_gt) & (best_per_gt > 0) & gt_valid[:, None]
+    fg = fg | jnp.any(is_best, axis=0)
+    return matched_idx.astype(jnp.int32), jnp.maximum(matched_iou, 0.0), fg & has_gt
+
+
+def label_and_sample_anchors(rng, anchors, gt_boxes, gt_classes, gt_valid,
+                             batch_size: int = 256, positive_fraction: float = 1.0,
+                             fg_thresh: float = 0.05, ignore_thresh: float = 0.5,
+                             eps: float = 1e-4):
+    """Single-image anchor labeling (reference rpn.py:43-127), static-shape.
+
+    GT rows with class < 0 are ignore regions; padding has gt_valid False.
+
+    Returns dict with:
+      labels (R,) int32 in {-1, 0, 1},
+      matched_gt (R, 4),
+      matched_iou (R,).
+    """
+    is_ignore_gt = gt_valid & (gt_classes < 0)
+    is_real_gt = gt_valid & (gt_classes >= 0)
+
+    matched_idx, matched_iou, fg = match_anchors(anchors, gt_boxes, is_real_gt, fg_thresh)
+    matched_gt = gt_boxes[matched_idx]
+
+    # --- subsample with IoU-weighted multinomial (rpn.py:275-328) ---
+    rng_pos, rng_neg = jax.random.split(rng)
+    n_pos_avail = jnp.sum(fg)
+    num_pos = jnp.minimum(n_pos_avail, int(batch_size * positive_fraction))
+    bg = ~fg
+    n_neg_avail = jnp.sum(bg)
+    num_neg = jnp.minimum(n_neg_avail, batch_size - num_pos)
+
+    logw = jnp.log(matched_iou + eps)
+    pos_sel = gumbel_topk_mask(rng_pos, logw, num_pos, fg)
+    neg_sel = gumbel_topk_mask(rng_neg, logw, num_neg, bg)
+
+    labels = jnp.full(anchors.shape[0], -1, jnp.int32)
+    labels = jnp.where(pos_sel, 1, labels)
+    labels = jnp.where(neg_sel, 0, labels)
+
+    # --- always keep the best anchor per gt (rpn.py:75-84) ---
+    iou_rg = box_ops.pairwise_iou(jnp.where(is_real_gt[:, None], gt_boxes, 0.0), anchors)
+    iou_rg = jnp.where(is_real_gt[:, None], iou_rg, -1.0)
+    best_anchor_per_gt = jnp.argmax(iou_rg, axis=1)  # (G,)
+    force = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].set(is_real_gt)
+    labels = jnp.where(force & fg, 1, labels)
+
+    # --- ignore regions: background anchors w/ IoA >= thresh -> -1 (rpn.py:93-105) ---
+    ioa = box_ops.pairwise_ioa(jnp.where(is_ignore_gt[:, None], gt_boxes, 0.0), anchors)
+    ioa = jnp.where(is_ignore_gt[:, None], ioa, 0.0)
+    in_ignore = jnp.max(ioa, axis=0) >= ignore_thresh
+    labels = jnp.where((labels == 0) & in_ignore, -1, labels)
+
+    return {"labels": labels, "matched_gt": matched_gt, "matched_iou": matched_iou}
+
+
+def smooth_l1(pred, target, beta: float = 0.0):
+    """fvcore smooth_l1_loss; beta=0 reduces to pure L1."""
+    diff = jnp.abs(pred - target)
+    if beta <= 1e-8:
+        return diff
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+def rpn_losses(anchors, labels, matched_gt, pred_logits, pred_deltas,
+               batch_size: int = 256, objectness: str = "IoUness"):
+    """RPN losses over the batch, fixed-shape masked reductions.
+
+    Args:
+      anchors: (R, 4) shared across the batch.
+      labels: (B, R) in {-1, 0, 1}; matched_gt: (B, R, 4).
+      pred_logits: (B, R); pred_deltas: (B, R, 4).
+
+    IoUness mode (reference rpn.py:206-273): both the objectness BCE and the
+    box smooth-L1 are computed on foreground anchors and weighted by the
+    anchor<->matched-gt IoU; normalizer is batch_size * num_images.
+    """
+    num_images = labels.shape[0]
+    fg = labels == 1
+    anchors_b = jnp.broadcast_to(anchors, matched_gt.shape)
+    iou_w = box_ops.matched_iou(anchors_b, matched_gt)
+    iou_w = jnp.where(fg, iou_w, 0.0)
+
+    gt_deltas = box_ops.encode_deltas(anchors_b, matched_gt)
+    reg = smooth_l1(pred_deltas, jax.lax.stop_gradient(gt_deltas)).sum(-1)
+    loss_loc = jnp.sum(reg * lax.stop_gradient(iou_w))
+
+    if objectness.lower() == "iouness":
+        tgt = lax.stop_gradient(iou_w)
+        bce = jnp.maximum(pred_logits, 0) - pred_logits * tgt + jnp.log1p(
+            jnp.exp(-jnp.abs(pred_logits))
+        )
+        loss_cls = jnp.sum(jnp.where(fg, bce * tgt, 0.0))
+    else:
+        valid = labels >= 0
+        tgt = (labels == 1).astype(pred_logits.dtype)
+        bce = jnp.maximum(pred_logits, 0) - pred_logits * tgt + jnp.log1p(
+            jnp.exp(-jnp.abs(pred_logits))
+        )
+        loss_cls = jnp.sum(jnp.where(valid, bce, 0.0))
+
+    norm = batch_size * num_images
+    return {"rpn/cls": loss_cls / norm, "rpn/loc": loss_loc / norm}

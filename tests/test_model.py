@@ -1,0 +1,128 @@
+"""Model stack tests: backbone shapes, FPN, anchors, end-to-end inference."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omni3d_tpu.config.cfg import StaticCfg
+from omni3d_tpu.config.defaults import get_default_cfg
+from omni3d_tpu.models import anchors as anchor_lib
+from omni3d_tpu.models.dla import DLA, dla_out_channels
+from omni3d_tpu.models.resnet import ResNet, resnet_out_channels
+from omni3d_tpu.models.fpn import FPN
+from omni3d_tpu.models.rcnn3d import CubeRCNN, inference_step, preprocess
+
+
+def small_cfg(num_classes=5):
+    cfg = get_default_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes
+    return StaticCfg(cfg)
+
+
+class TestBackbones:
+    def test_dla34_shapes(self):
+        m = DLA(variant="dla34")
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(variables, x)
+        ch = dla_out_channels("dla34")
+        for name, stride in zip(["p2", "p3", "p4", "p5", "p6"], [4, 8, 16, 32, 64]):
+            assert out[name].shape == (1, 64 // stride, 64 // stride, ch[name]), name
+
+    def test_dla34_param_count(self):
+        # torch dla34 trunk (without fc): ~15.2M params
+        m = DLA(variant="dla34")
+        variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+        assert 15.0e6 < n < 15.6e6, n
+
+    def test_resnet34_shapes(self):
+        m = ResNet(depth=34)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(variables, x)
+        ch = resnet_out_channels(34)
+        for name, stride in zip(["p2", "p3", "p4", "p5", "p6"], [4, 8, 16, 32, 64]):
+            assert out[name].shape == (1, 64 // stride, 64 // stride, ch[name])
+
+    def test_resnet34_param_count(self):
+        # torch resnet34 trunk (without fc): ~21.3M params
+        m = ResNet(depth=34)
+        variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+        assert 20.8e6 < n < 21.6e6, n
+
+    def test_fpn_uniform_channels(self):
+        m = DLA(variant="dla34")
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        feats = m.apply(variables, x)
+        fpn = FPN()
+        fv = fpn.init(jax.random.PRNGKey(1), feats)
+        out = fpn.apply(fv, feats)
+        for k, v in out.items():
+            assert v.shape[-1] == 256, k
+
+
+class TestAnchors:
+    def test_cell_anchor_geometry(self):
+        cells = anchor_lib.cell_anchors([32], [0.5, 1.0, 2.0])
+        assert cells.shape == (3, 4)
+        for (x1, y1, x2, y2), ar in zip(cells, [0.5, 1.0, 2.0]):
+            w, h = x2 - x1, y2 - y1
+            np.testing.assert_allclose(w * h, 32 * 32, rtol=1e-5)
+            np.testing.assert_allclose(h / w, ar, rtol=1e-5)
+
+    def test_grid_layout(self):
+        cells = anchor_lib.cell_anchors([32], [1.0])
+        a = anchor_lib.grid_anchors(2, 3, 16, cells)
+        assert a.shape == (6, 4)
+        # position (0,1): center (16, 0)
+        np.testing.assert_allclose(a[1], [16 - 16, -16, 16 + 16, 16], atol=1e-5)
+
+    def test_pyramid_counts(self):
+        anchors = anchor_lib.pyramid_anchors(
+            [(128, 128), (64, 64), (32, 32), (16, 16), (8, 8)],
+            [4, 8, 16, 32, 64],
+            [[32], [64], [128], [256], [512]],
+            [[0.5, 1.0, 2.0]],
+        )
+        assert [a.shape[0] for a in anchors] == [49152, 12288, 3072, 768, 192]
+
+
+class TestEndToEnd:
+    def test_inference_pipeline(self):
+        cfg = small_cfg()
+        model = CubeRCNN(cfg=cfg)
+        H = W = 128
+        images = preprocess(
+            jnp.asarray(np.random.default_rng(0).integers(0, 255, (1, H, W, 3))),
+            cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
+        )
+        variables = model.init(jax.random.PRNGKey(0), images)
+        Ks = jnp.asarray([[[200.0, 0, 128], [0, 200.0, 96], [0, 0, 1]]])
+        ratios = jnp.asarray([192 / H])  # pretend original height was 192
+
+        out = inference_step(
+            variables, model, images, Ks, ratios,
+            topk=10, nms_candidates=64, pre_nms_topk=64, post_nms_topk=32,
+        )
+        K = 10
+        assert out["boxes"].shape == (1, K, 4)
+        assert out["scores"].shape == (1, K)
+        assert out["classes"].shape == (1, K)
+        assert out["center_cam"].shape == (1, K, 3)
+        assert out["dims"].shape == (1, K, 3)
+        assert out["pose"].shape == (1, K, 3, 3)
+        assert out["corners"].shape == (1, K, 8, 3)
+        # all finite
+        for k, v in out.items():
+            assert np.all(np.isfinite(np.asarray(v, np.float32))), k
+        # poses are valid rotations
+        R = np.asarray(out["pose"])[0, 0]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        # fused score = sqrt(s2d * conf) <= sqrt(s2d)
+        s = np.asarray(out["scores"])
+        s2 = np.asarray(out["scores_2d"])
+        valid = np.asarray(out["valid"])
+        assert np.all(s[valid] <= np.sqrt(s2[valid]) + 1e-5)
