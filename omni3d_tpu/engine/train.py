@@ -1,0 +1,309 @@
+"""The jitted Cube R-CNN training step and SPMD wiring.
+
+Replaces the reference's explicit GPU loop + DDP (tools/train_net.py:117-316,
+SURVEY §2.4/§2.5): one pure function computes every loss of the model
+(RPN IoUness, FastRCNN cls/reg, disentangled cube losses), takes the gradient,
+and applies the optimizer — compiled once per input shape and sharded over a
+1-D `data` mesh with `jax.jit` + NamedSharding. DDP's gradient all-reduce and
+the reference's loss-dict all-reduce / cluster-wide skip protocol
+(train_net.py:237-252, 471-498) all become XLA collectives inside the step:
+losses/grads are computed on globally-sharded batches, and the in-graph
+stabilizer (finite check -> skip update) is consistent across devices by
+construction.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import anchors as anchor_lib
+from ..models.rcnn3d import FEATURE_NAMES, FEATURE_STRIDES, CubeRCNN
+from ..models.heads import decode_cube, select_per_class
+from ..models.roi_training import (
+    cube_losses,
+    fast_rcnn_losses,
+    label_and_sample_proposals,
+)
+from ..models.rpn import label_and_sample_anchors, rpn_losses, select_proposals
+from ..ops.roi_align import multilevel_roi_align
+from ..solver.build import build_lr_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    skipped: jnp.ndarray  # cumulative stabilizer-skipped updates
+
+
+def create_train_state(cfg, model: CubeRCNN, tx, rng, input_hw=(512, 512),
+                       priors=None) -> TrainState:
+    images = jnp.zeros((1, *input_hw, 3), jnp.float32)
+    variables = model.init(rng, images)
+    params = variables["params"]
+    if priors is not None:
+        params = dict(params)
+        params["priors_dims_per_cat"] = jnp.asarray(priors["priors_dims_per_cat"], jnp.float32)
+        if "priors_z_scales" in priors:
+            params["priors_z_scales"] = jnp.asarray(priors["priors_z_scales"], jnp.float32)
+        if "priors_z_stats" in priors:
+            params["priors_z_stats"] = jnp.asarray(priors["priors_z_stats"], jnp.float32)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        skipped=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
+                   train_bn: bool = True):
+    """All Cube R-CNN losses for one globally-batched step.
+
+    batch: images (B,H,W,3) normalized, hw (B,2), Ks (B,3,3), ratios (B,),
+      gt_boxes (B,G,4) net-res XYXY, gt_classes (B,G) (-1 rows = ignore
+      regions), gt_valid (B,G) bool, gt_boxes3D (B,G,6), gt_poses (B,G,3,3).
+
+    Returns (total_loss, (losses, metrics, new_batch_stats)).
+    """
+    images = batch["images"]
+    B = images.shape[0]
+    C = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    if train_bn:
+        feats, mutated = model.apply(
+            variables, images, method=CubeRCNN.features, mutable=["batch_stats"]
+        )
+        new_bs = mutated["batch_stats"]
+    else:
+        feats = model.apply(variables, images, method=CubeRCNN.features)
+        new_bs = batch_stats
+    flist = [feats[f].astype(jnp.float32) for f in FEATURE_NAMES]
+    logits, deltas = model.apply(variables, flist, method=CubeRCNN.rpn)
+    logits = [l.astype(jnp.float32) for l in logits]
+    deltas = [d.astype(jnp.float32) for d in deltas]
+
+    anchors = [
+        jnp.asarray(a)
+        for a in anchor_lib.pyramid_anchors(
+            [(f.shape[1], f.shape[2]) for f in flist],
+            FEATURE_STRIDES,
+            cfg.MODEL.ANCHOR_GENERATOR.SIZES,
+            cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
+            cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+        )
+    ]
+    anchors_cat = jnp.concatenate(anchors, axis=0)
+
+    # ---- RPN labels + losses ----
+    rng, rng_anchor, rng_prop = jax.random.split(rng, 3)
+    anchor_rngs = jax.random.split(rng_anchor, B)
+    lab = jax.vmap(
+        lambda r, gb, gc, gv: label_and_sample_anchors(
+            r, anchors_cat, gb, gc, gv,
+            batch_size=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+            fg_thresh=cfg.MODEL.RPN.IOU_THRESHOLDS[0],
+            ignore_thresh=cfg.MODEL.RPN.IGNORE_THRESHOLD,
+        )
+    )(anchor_rngs, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+
+    logits_cat = jnp.concatenate(logits, axis=1)
+    deltas_cat = jnp.concatenate(deltas, axis=1)
+    losses = rpn_losses(
+        anchors_cat, lab["labels"], lab["matched_gt"], logits_cat, deltas_cat,
+        batch_size=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        objectness=cfg.MODEL.RPN.OBJECTNESS_UNCERTAINTY,
+    )
+
+    # ---- proposals (detached, reference RPN.predict_proposals no_grad) ----
+    def per_image_proposals(lg, dl, hw):
+        return select_proposals(
+            anchors, lg, dl, hw,
+            cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN, cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+            cfg.MODEL.RPN.NMS_THRESH,
+        )
+
+    prop_boxes, _, prop_valid = jax.vmap(per_image_proposals)(
+        [lax.stop_gradient(l) for l in logits],
+        [lax.stop_gradient(d) for d in deltas],
+        batch["hw"].astype(jnp.float32),
+    )
+
+    # ---- sample proposals for the ROI heads ----
+    S = cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+    F = int(S * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION)
+    prop_rngs = jax.random.split(rng_prop, B)
+    sampled = jax.vmap(
+        lambda r, pb, pv, gb, gc, gv: label_and_sample_proposals(
+            r, pb, pv, gb, gc, gv, C,
+            batch_size=S,
+            positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            iou_thresh=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
+            ignore_thresh=cfg.MODEL.RPN.IGNORE_THRESHOLD,
+            append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
+        )
+    )(prop_rngs, prop_boxes, prop_valid, batch["gt_boxes"], batch["gt_classes"],
+      batch["gt_valid"])
+
+    # ---- box branch ----
+    def pool(feats_i, boxes_i):
+        return multilevel_roi_align(
+            feats_i, boxes_i, list(FEATURE_STRIDES),
+            cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION, cfg.TPU.ROI_SAMPLING_RATIO,
+        )
+
+    pooled = jax.vmap(pool)(flist, sampled["boxes"])
+    scores2d, deltas2d = model.apply(
+        variables, pooled.reshape(B * S, *pooled.shape[2:]), method=CubeRCNN.box_branch
+    )
+    gt_matched = jnp.take_along_axis(
+        batch["gt_boxes"], sampled["gt_idx"][..., None], axis=1
+    )
+    losses.update(
+        fast_rcnn_losses(
+            scores2d.astype(jnp.float32).reshape(B * S, C + 1),
+            deltas2d.astype(jnp.float32).reshape(B * S, C * 4),
+            sampled["boxes"].reshape(B * S, 4),
+            sampled["classes"].reshape(B * S),
+            sampled["valid"].reshape(B * S),
+            gt_matched.reshape(B * S, 4),
+            C,
+            tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        )
+    )
+
+    metrics = {
+        "roi/num_fg": jnp.mean(sampled["num_fg"].astype(jnp.float32)),
+        "rpn/num_pos_anchors": jnp.mean(jnp.sum(lab["labels"] == 1, axis=1).astype(jnp.float32)),
+        "rpn/num_neg_anchors": jnp.mean(jnp.sum(lab["labels"] == 0, axis=1).astype(jnp.float32)),
+    }
+
+    # ---- cube branch on the foreground slots ----
+    if cfg.MODEL.ROI_CUBE_HEAD.LOSS_W_3D > 0:
+        fg_boxes = sampled["boxes"][:, :F]
+        fg_classes = jnp.clip(sampled["classes"][:, :F], 0, C - 1)
+        fg_mask = sampled["fg"][:, :F]
+        pooled_cube = jax.vmap(pool)(flist, fg_boxes)
+        cube_out = model.apply(
+            variables, pooled_cube.reshape(B * F, *pooled_cube.shape[2:]),
+            method=CubeRCNN.cube_branch,
+        )
+        cube_out = jax.tree.map(lambda t: t.astype(jnp.float32), cube_out)
+        priors_dims, priors_z_scales, priors_z_stats = model.apply(
+            variables, method=CubeRCNN.prior_params
+        )
+
+        Ks_scaled = batch["Ks"] / batch["ratios"][:, None, None]
+        Ks_scaled = Ks_scaled.at[:, 2, 2].set(1.0)
+        Ks_per_box = jnp.broadcast_to(Ks_scaled[:, None], (B, F, 3, 3)).reshape(-1, 3, 3)
+
+        ch = cfg.MODEL.ROI_CUBE_HEAD
+        cube = decode_cube(
+            cube_out, fg_classes.reshape(-1), fg_boxes.reshape(-1, 4),
+            Ks_per_box, Ks_per_box[:, 1, 1],
+            lax.stop_gradient(priors_dims),
+            z_type=ch.Z_TYPE, virtual_depth=ch.VIRTUAL_DEPTH,
+            virtual_focal=ch.VIRTUAL_FOCAL,
+            dims_priors_enabled=ch.DIMS_PRIORS_ENABLED,
+            dims_priors_func=ch.DIMS_PRIORS_FUNC, allocentric=ch.ALLOCENTRIC_POSE,
+            priors_z_stats=lax.stop_gradient(priors_z_stats),
+            priors_z_scales=lax.stop_gradient(priors_z_scales),
+            cluster_bins=ch.CLUSTER_BINS,
+        )
+        gt_idx_fg = sampled["gt_idx"][:, :F]
+        gt_b3d = jnp.take_along_axis(batch["gt_boxes3D"], gt_idx_fg[..., None], axis=1)
+        gt_pose = jnp.take_along_axis(
+            batch["gt_poses"], gt_idx_fg[..., None, None], axis=1
+        )
+        closs, cmetrics = cube_losses(
+            cube, fg_mask.reshape(-1), gt_b3d.reshape(-1, 6),
+            gt_pose.reshape(-1, 3, 3), Ks_per_box, ch, fg_boxes.reshape(-1, 4),
+        )
+        losses.update(closs)
+        metrics.update(cmetrics)
+
+    total = sum(losses.values())
+    return total, (losses, metrics, new_bs)
+
+
+def make_train_step(cfg, model: CubeRCNN, tx, mesh: Mesh | None = None,
+                    stabilize: bool = True):
+    """Build the jitted, sharded train step.
+
+    Returns step_fn(state, batch, rng) -> (state, logs). With a mesh, the batch
+    is sharded over the `data` axis and params/opt state are replicated — the
+    whole of DDP (SURVEY §2.4) expressed as two sharding annotations.
+    """
+    schedule = build_lr_schedule(cfg)
+    train_bn = bool(cfg.MODEL.USE_BN)
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
+        (total, (losses, metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, model, cfg, train_bn
+        )
+
+        if stabilize:
+            # in-graph stabilizer (reference train_net.py:226-252): a single
+            # global finite flag decides skip-vs-step for every device at once
+            finite = jnp.isfinite(total)
+            for g in jax.tree.leaves(grads):
+                finite &= jnp.all(jnp.isfinite(g))
+            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+        else:
+            finite = jnp.bool_(True)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(finite, x, y), a, b)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=sel(new_params, state.params),
+            batch_stats=sel(new_bs, state.batch_stats) if train_bn else state.batch_stats,
+            opt_state=sel(new_opt, state.opt_state),
+            skipped=state.skipped + (1 - finite.astype(jnp.int32)),
+        )
+        logs = dict(losses)
+        logs.update(metrics)
+        logs["total_loss"] = total
+        logs["lr"] = schedule(state.step)
+        logs["finite"] = finite.astype(jnp.float32)
+        return new_state, logs
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D data-parallel mesh — the single parallelism strategy this workload
+    needs (SURVEY §2.4: convnet detector, params fit per chip)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), ("data",))

@@ -1,0 +1,175 @@
+"""Train-step tests: losses, gradient flow, stabilizer, 8-device DP mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omni3d_tpu.config.cfg import StaticCfg
+from omni3d_tpu.config.defaults import get_default_cfg
+from omni3d_tpu.engine.train import (
+    TrainState,
+    compute_losses,
+    create_train_state,
+    make_mesh,
+    make_train_step,
+)
+from omni3d_tpu.models.rcnn3d import CubeRCNN
+from omni3d_tpu.solver.build import build_lr_schedule, build_optimizer, weight_decay_mask
+from omni3d_tpu.utils import geometry as G
+
+
+def tiny_cfg(num_classes=3):
+    cfg = get_default_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.WARMUP_ITERS = 10
+    cfg.SOLVER.STEPS = (100, 200)
+    return cfg
+
+
+def synthetic_batch(rng, B=2, H=64, W=64, G_max=8, num_classes=3):
+    """Images with a couple of valid GT cuboids each."""
+    imgs = rng.standard_normal((B, H, W, 3)).astype(np.float32)
+    Ks = np.tile(np.array([[[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]]], np.float32), (B, 1, 1))
+    gt_boxes = np.zeros((B, G_max, 4), np.float32)
+    gt_classes = np.zeros((B, G_max), np.int32)
+    gt_valid = np.zeros((B, G_max), bool)
+    gt_b3d = np.zeros((B, G_max, 6), np.float32)
+    gt_poses = np.tile(np.eye(3, dtype=np.float32), (B, G_max, 1, 1))
+    for b in range(B):
+        for g in range(3):
+            x1, y1 = rng.uniform(2, W / 2, 2)
+            w, h = rng.uniform(8, 24, 2)
+            gt_boxes[b, g] = [x1, y1, min(x1 + w, W - 1), min(y1 + h, H - 1)]
+            gt_classes[b, g] = rng.integers(0, num_classes)
+            gt_valid[b, g] = True
+            u, v = (gt_boxes[b, g, :2] + gt_boxes[b, g, 2:]) / 2
+            gt_b3d[b, g] = [u, v, rng.uniform(2, 10), *rng.uniform(0.5, 2.0, 3)]
+        # one ignore region
+        gt_boxes[b, 3] = [1, 1, 10, 10]
+        gt_classes[b, 3] = -1
+        gt_valid[b, 3] = True
+    return {
+        "images": jnp.asarray(imgs),
+        "hw": jnp.asarray(np.tile([[H, W]], (B, 1)).astype(np.float32)),
+        "Ks": jnp.asarray(Ks),
+        "ratios": jnp.ones(B, jnp.float32),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_classes": jnp.asarray(gt_classes),
+        "gt_valid": jnp.asarray(gt_valid),
+        "gt_boxes3D": jnp.asarray(gt_b3d),
+        "gt_poses": jnp.asarray(gt_poses),
+    }
+
+
+EXPECTED_LOSSES = {
+    "rpn/cls", "rpn/loc", "BoxHead/loss_cls", "BoxHead/loss_box_reg",
+    "Cube/loss_dims", "Cube/loss_xy", "Cube/loss_z", "Cube/loss_pose",
+    "Cube/loss_joint", "Cube/uncert",
+}
+
+
+class TestTrainStep:
+    def setup_method(self):
+        self.cfg = tiny_cfg()
+        self.scfg = StaticCfg(self.cfg)
+        self.model = CubeRCNN(cfg=self.scfg, train_mode=True)
+        self.tx = build_optimizer(self.cfg, None.__class__ and {})
+
+    def _state(self):
+        model = self.model
+        tx = build_optimizer(self.cfg, {})
+        state = create_train_state(self.cfg, model, tx, jax.random.PRNGKey(0), (64, 64))
+        return state, tx
+
+    def test_losses_present_and_finite(self):
+        state, tx = self._state()
+        batch = synthetic_batch(np.random.default_rng(0))
+        total, (losses, metrics, new_bs) = compute_losses(
+            state.params, state.batch_stats, batch, jax.random.PRNGKey(1),
+            self.model, self.scfg,
+        )
+        assert set(losses) == EXPECTED_LOSSES
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        assert float(metrics["roi/num_fg"]) > 0
+
+    def test_step_updates_params(self):
+        state, tx = self._state()
+        step = make_train_step(self.scfg, self.model, tx)
+        batch = synthetic_batch(np.random.default_rng(1))
+        before = float(jax.tree.leaves(state.params)[0].sum())
+        state2, logs = step(state, batch, jax.random.PRNGKey(2))
+        assert int(state2.step) == 1
+        assert float(logs["finite"]) == 1.0
+        after = float(jax.tree.leaves(state2.params)[0].sum())
+        assert before != after
+        # batch stats were updated (BN train mode)
+        assert len(jax.tree.leaves(state2.batch_stats)) > 0
+
+    def test_stabilizer_skips_nonfinite(self):
+        state, tx = self._state()
+        step = make_train_step(self.scfg, self.model, tx)
+        batch = synthetic_batch(np.random.default_rng(2))
+        batch["images"] = batch["images"].at[0, 0, 0, 0].set(jnp.nan)
+        p_before = np.asarray(jax.tree.leaves(state.params)[0])  # copy: state is donated
+        state2, logs = step(state, batch, jax.random.PRNGKey(3))
+        assert float(logs["finite"]) == 0.0
+        assert int(state2.skipped) == 1
+        np.testing.assert_array_equal(p_before, np.asarray(jax.tree.leaves(state2.params)[0]))
+
+    def test_data_parallel_mesh(self):
+        mesh = make_mesh(8)
+        assert mesh.devices.size == 8
+        state, tx = self._state()
+        step = make_train_step(self.scfg, self.model, tx, mesh=mesh)
+        batch = synthetic_batch(np.random.default_rng(3), B=8)
+        state2, logs = step(state, batch, jax.random.PRNGKey(4))
+        assert np.isfinite(float(logs["total_loss"]))
+        assert int(state2.step) == 1
+
+    def test_grads_reach_all_branches(self):
+        state, tx = self._state()
+        batch = synthetic_batch(np.random.default_rng(4))
+
+        def loss(p):
+            t, _ = compute_losses(p, state.batch_stats, batch, jax.random.PRNGKey(5),
+                                  self.model, self.scfg)
+            return t
+
+        g = jax.grad(loss)(state.params)
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        zero_groups = []
+        for name in ["backbone", "fpn", "rpn_head", "box_head", "box_predictor", "cube_head"]:
+            total = sum(
+                float(jnp.abs(v).sum()) for path, v in flat if name in str(path)
+            )
+            if total == 0:
+                zero_groups.append(name)
+        assert not zero_groups, f"no gradient reached: {zero_groups}"
+
+
+class TestSolver:
+    def test_lr_schedule(self):
+        cfg = tiny_cfg()
+        sched = build_lr_schedule(cfg)
+        base = cfg.SOLVER.BASE_LR
+        assert float(sched(0)) == pytest.approx(base * cfg.SOLVER.WARMUP_FACTOR, rel=1e-5)
+        assert float(sched(10)) == pytest.approx(base, rel=1e-5)
+        assert float(sched(150)) == pytest.approx(base * 0.1, rel=1e-5)
+        assert float(sched(250)) == pytest.approx(base * 0.01, rel=1e-5)
+
+    def test_weight_decay_mask(self):
+        params = {
+            "backbone": {"base_layer": {"c": {"conv": {"kernel": jnp.zeros(1)}},
+                                        "n": {"bn": {"scale": jnp.zeros(1), "bias": jnp.zeros(1)}}}},
+            "priors_dims_per_cat": jnp.zeros(1),
+        }
+        mask = weight_decay_mask(params)
+        assert mask["backbone"]["base_layer"]["c"]["conv"]["kernel"] is True
+        assert mask["backbone"]["base_layer"]["n"]["bn"]["scale"] is False
+        assert mask["priors_dims_per_cat"] is False
