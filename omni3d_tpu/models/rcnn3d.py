@@ -138,12 +138,7 @@ def preprocess(images_bgr: jnp.ndarray, pixel_mean, pixel_std) -> jnp.ndarray:
     return (images_bgr.astype(jnp.float32) - mean) / std
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "score_thresh", "nms_thresh", "topk", "nms_candidates",
-                     "pre_nms_topk", "post_nms_topk", "rpn_nms_thresh", "sampling_ratio"),
-)
-def inference_step(params, model: CubeRCNN, images, Ks, im_scales_ratio,
+def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
                    score_thresh=0.01, nms_thresh=0.5, topk=100, nms_candidates=1024,
                    pre_nms_topk=1000, post_nms_topk=1000, rpn_nms_thresh=0.7,
                    sampling_ratio=2):
@@ -165,7 +160,7 @@ def inference_step(params, model: CubeRCNN, images, Ks, im_scales_ratio,
     C = cfg.MODEL.ROI_HEADS.NUM_CLASSES
 
     feats = model.apply(params, images, method=CubeRCNN.features)
-    flist = [feats[f] for f in FEATURE_NAMES]
+    flist = [feats[f] for f in FEATURE_NAMES]  # stays in model dtype: pooling gathers are HBM-bound
     logits, deltas = model.apply(params, flist, method=CubeRCNN.rpn)
 
     anchors = [
@@ -195,7 +190,7 @@ def inference_step(params, model: CubeRCNN, images, Ks, im_scales_ratio,
                                     cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
                                     sampling_ratio)
 
-    pooled = jax.vmap(pool_box)([f.astype(jnp.float32) for f in flist], prop_boxes)
+    pooled = jax.vmap(pool_box)(flist, prop_boxes)
     scores2d, deltas2d = model.apply(
         params, pooled.reshape(B * post_nms_topk, *pooled.shape[2:]),
         method=CubeRCNN.box_branch,
@@ -212,7 +207,7 @@ def inference_step(params, model: CubeRCNN, images, Ks, im_scales_ratio,
 
     # ---- cube branch ----
     det_boxes = dets["boxes"]  # (B, K, 4) network-res
-    pooled_cube = jax.vmap(pool_box)([f.astype(jnp.float32) for f in flist], det_boxes)
+    pooled_cube = jax.vmap(pool_box)(flist, det_boxes)
     cube_out = model.apply(
         params, pooled_cube.reshape(B * topk, *pooled_cube.shape[2:]),
         method=CubeRCNN.cube_branch,
@@ -272,3 +267,12 @@ def inference_step(params, model: CubeRCNN, images, Ks, im_scales_ratio,
         "proposal_valid": prop_valid,
     }
     return out
+
+
+inference_step = jax.jit(
+    inference_impl,
+    static_argnames=(
+        "model", "score_thresh", "nms_thresh", "topk", "nms_candidates",
+        "pre_nms_topk", "post_nms_topk", "rpn_nms_thresh", "sampling_ratio",
+    ),
+)
