@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align_pallas import multilevel_roi_align_pallas_batched
 from ..utils import boxes as box_ops
 from . import anchors as anchor_lib
 from .dla import DLA, dla_out_channels
@@ -185,12 +186,14 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
     )
 
     # ---- box branch ----
-    def pool_box(feats_i, boxes_i):
-        return multilevel_roi_align(feats_i, boxes_i, list(FEATURE_STRIDES),
-                                    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
-                                    sampling_ratio)
+    def pool_box(feats_b, boxes_b):
+        # batched pallas kernel (do not vmap it: it drives its own grid)
+        return multilevel_roi_align_pallas_batched(
+            feats_b, boxes_b, list(FEATURE_STRIDES),
+            cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION, sampling_ratio,
+        )
 
-    pooled = jax.vmap(pool_box)(flist, prop_boxes)
+    pooled = pool_box(flist, prop_boxes)
     scores2d, deltas2d = model.apply(
         params, pooled.reshape(B * post_nms_topk, *pooled.shape[2:]),
         method=CubeRCNN.box_branch,
@@ -207,7 +210,7 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
 
     # ---- cube branch ----
     det_boxes = dets["boxes"]  # (B, K, 4) network-res
-    pooled_cube = jax.vmap(pool_box)(flist, det_boxes)
+    pooled_cube = pool_box(flist, det_boxes)
     cube_out = model.apply(
         params, pooled_cube.reshape(B * topk, *pooled_cube.shape[2:]),
         method=CubeRCNN.cube_branch,

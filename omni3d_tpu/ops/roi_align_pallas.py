@@ -1,0 +1,313 @@
+"""Pallas TPU kernel for multi-level ROIAlign (inference hot path).
+
+The XLA gather formulation of ROIAlign reads 4 feature rows per bilinear
+sample — ~784 row-gathers per RoI — and TPU gathers sustain only ~130 GB/s,
+making the box pooler the single most expensive stage of Cube R-CNN inference
+(stage ablation: ~8.4 ms of a 15 ms step for 1000 RoIs @512px).
+
+Key property of FPN level assignment: a box routed to level l satisfies
+sqrt(area)/2^l <= 28 cells, so extent_x * extent_y <= 28^2 — at most ONE axis
+can exceed a 32-cell window. Per RoI we therefore DMA TWO (PATCH, PATCH, C)
+sub-patches tiled along the box's longer axis (the second degenerates to a
+zero-weight duplicate for compact boxes), and bilinear interpolation over the
+sample grid becomes per-sub-patch matmul pairs with 1-hot-pair weight
+matrices built outside the kernel:
+
+    S = sum_q  Wx_q @ (Wy_q @ B_q)        (MXU work, no gathers)
+
+followed by SxS average pooling to the 7x7 output. Sub-patch DMAs are
+double-buffered across the sequential grid so copy overlaps compute. HBM
+traffic: ~2 contiguous patches/RoI instead of ~784 scattered rows.
+
+Covers boxes up to ~62 cells on the long axis at their assigned level
+(aspect ~4.8 at the FPN envelope); rarer, longer boxes lose their outermost
+taps (treated as out-of-bounds zeros, like the boundary rule).
+
+Replaces the same op as ops/roi_align.py (reference ROIAlignV2 binding,
+SURVEY §2.3 N1); the XLA version remains the autodiff/training path and the
+test oracle.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roi_align import _sample_coords_1d, assign_fpn_levels
+
+PATCH = 32      # y window (free DMA offset alignment)
+PATCH_X = 40    # x window: origins must be 8-aligned (Mosaic sublane tiling),
+                # so cover the worst 7-cell alignment slack
+
+
+def _taps(pos, limit):
+    """Bilinear taps with torchvision boundary semantics.
+
+    pos: (PS,) global feature coords; limit: scalar float extent.
+    Returns (lo, hi int32 (PS,), w_lo, w_hi f32 (PS,))."""
+    inside = (pos >= -1.0) & (pos <= limit)
+    p = jnp.clip(pos, 0.0, None)
+    lo = jnp.floor(p).astype(jnp.int32)
+    at_edge = lo >= limit - 1
+    lo = jnp.where(at_edge, (limit - 1).astype(jnp.int32), lo)
+    hi = jnp.where(at_edge, lo, lo + 1)
+    frac = jnp.where(at_edge, 0.0, p - lo.astype(p.dtype))
+    w_lo = jnp.where(inside, 1.0 - frac, 0.0)
+    w_hi = jnp.where(inside, frac, 0.0)
+    return lo, hi, w_lo, w_hi
+
+
+def _axis_weights(pos, limit, origins, patch):
+    """(2, PS, patch) sub-patch weight matrices for one axis of one box.
+
+    origins: (2,) sub-patch origins along this axis. Every tap contributes to
+    the sub-patch that contains it (q=0 preferred when both do).
+    """
+    lo, hi, w_lo, w_hi = _taps(pos, limit)
+    cells = jnp.arange(patch)[None, None, :]  # (1, 1, patch)
+
+    def place(t, w):
+        # local coords per quadrant: (2, PS)
+        local = t[None, :] - origins[:, None]
+        in_q = (local >= 0) & (local < patch)
+        # q0 wins when a tap lies in both (overlapping clipped windows)
+        in_q = in_q & jnp.concatenate(
+            [jnp.ones((1,) + t.shape, bool), ~in_q[:1]], axis=0
+        )
+        return (cells == local[:, :, None]) * (w[None, :, None] * in_q[:, :, None])
+
+    return place(lo, w_lo) + place(hi, w_hi)
+
+
+def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
+    """Per-box plan: level, 2 sub-patch origins (y/x), weights (2, PS, PATCH)."""
+    n_levels = len(strides)
+    lvl = assign_fpn_levels(boxes, min_level, min_level + n_levels - 1) - min_level
+    # coverage bump: extremely elongated boxes (aspect beyond ~4.8 at the FPN
+    # envelope) cannot fit 2 sub-patches at their assigned level; pool them
+    # from the smallest coarser level where the long side fits 2*PATCH-2
+    # cells. Only such outliers deviate from reference level routing.
+    max_side = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
+    fit_lvl = jnp.ceil(
+        jnp.log2(jnp.maximum(max_side, 1.0) / (strides[0] * (2.0 * PATCH - 2.0)))
+    ).astype(jnp.int32)
+    lvl = jnp.clip(jnp.maximum(lvl, fit_lvl), 0, n_levels - 1)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl]
+    Hs = jnp.asarray([s[0] for s in level_shapes], jnp.float32)[lvl]
+    Ws = jnp.asarray([s[1] for s in level_shapes], jnp.float32)[lvl]
+    Hpad = jnp.asarray([max(s[0], PATCH) for s in level_shapes], jnp.int32)[lvl]
+    Wpad = jnp.asarray(
+        [max(-(-s[1] // 8) * 8, PATCH_X) for s in level_shapes], jnp.int32
+    )[lvl]
+
+    b = boxes * scales[:, None] - 0.5
+    ys = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, out_size, sampling_ratio))(
+        b[:, 1], b[:, 3] - b[:, 1]
+    )
+    xs = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, out_size, sampling_ratio))(
+        b[:, 0], b[:, 2] - b[:, 0]
+    )
+
+    split_x = (b[:, 2] - b[:, 0]) >= (b[:, 3] - b[:, 1])
+
+    def origins(pos, limit, pad_limit, split, patch, align):
+        t0 = jnp.clip(jnp.floor(jnp.clip(pos[:, 0], 0.0, None)).astype(jnp.int32),
+                      0, jnp.maximum(limit.astype(jnp.int32) - 1, 0))
+        t0 = (t0 // align) * align
+        o0 = jnp.clip(t0, 0, pad_limit - patch)
+        o1 = jnp.where(split, jnp.clip(o0 + patch, 0, pad_limit - patch), o0)
+        return jnp.stack([o0, o1], axis=1)  # (N, 2)
+
+    oy = origins(ys, Hs, Hpad, ~split_x, PATCH, 1)
+    ox = origins(xs, Ws, Wpad, split_x, PATCH_X, 8)
+
+    wy = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(ys, Hs, oy, PATCH)
+    wx = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(xs, Ws, ox, PATCH_X)
+
+    # unsplit axis: both quadrants share the origin; q-ownership in
+    # _axis_weights routes all taps to q0 there. Combine so that
+    # S = sum_q Wx[q] @ (Wy[q] @ B_q):
+    #   split on x: B_q differ in x -> Wy must be full for both q
+    #   split on y: B_q differ in y -> Wx must be full for both q
+    wy_full = wy.sum(axis=1, keepdims=True)
+    wx_full = wx.sum(axis=1, keepdims=True)
+    wy = jnp.where(split_x[:, None, None, None], jnp.tile(wy_full, (1, 2, 1, 1)), wy)
+    wx = jnp.where(split_x[:, None, None, None], wx, jnp.tile(wx_full, (1, 2, 1, 1)))
+    return lvl.astype(jnp.int32), oy.astype(jnp.int32), ox.astype(jnp.int32), wy, wx
+
+
+def multilevel_roi_align_pallas(features, boxes, strides, out_size: int = 7,
+                                sampling_ratio: int = 2, min_level: int = 2,
+                                interpret: bool | None = None):
+    """Single-image entry: features list of (H_l, W_l, C); boxes (N, 4)."""
+    return multilevel_roi_align_pallas_batched(
+        [f[None] for f in features], boxes[None], strides, out_size,
+        sampling_ratio, min_level, interpret,
+    )[0]
+
+
+def multilevel_roi_align_pallas_batched(features, boxes, strides,
+                                        out_size: int = 7,
+                                        sampling_ratio: int = 2,
+                                        min_level: int = 2,
+                                        interpret: bool | None = None):
+    """Batched pallas ROIAlign over an FPN pyramid.
+
+    NOTE: do NOT jax.vmap the single-image version — the kernel drives its own
+    sequential grid and DMA pipeline, so batching is handled natively here via
+    a per-box image index. features: list of (B, H_l, W_l, C); boxes
+    (B, N, 4). Returns (B, N, out_size, out_size, C) float32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = boxes.shape[:2]
+    C = features[0].shape[-1]
+    P, S = out_size, sampling_ratio
+    level_shapes = [f.shape[1:3] for f in features]
+
+    lvl, oy, ox, wy, wx = jax.vmap(
+        lambda bx: _plan(bx, strides, level_shapes, P, S, min_level)
+    )(boxes)
+    img = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
+
+    # flatten batch into one box list
+    NB = B * N
+    img = img.reshape(NB)
+    lvl = lvl.reshape(NB)
+    oy, ox = oy.reshape(-1), ox.reshape(-1)  # (2*NB,) interleaved per box
+    wy = wy.reshape(NB, 2, P * S, PATCH)
+    wx = wx.reshape(NB, 2, P * S, PATCH_X)
+
+    # fold the SxS average pool into the weight matrices: the bilinear sample
+    # grid and the mean are both linear, so out = (mean_S W_y) B (mean_S W_x)^T
+    wy = wy.reshape(NB, 2, P, S, PATCH).mean(axis=3)
+    wx = wx.reshape(NB, 2, P, S, PATCH_X).mean(axis=3)
+    N = NB
+
+    feats = []
+    for f in features:
+        ph = max(PATCH - f.shape[1], 0)
+        pw = max(-(-f.shape[2] // 8) * 8, PATCH_X) - f.shape[2]
+        if ph or pw:
+            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        feats.append(f)
+    dtype = feats[0].dtype
+    n_levels = len(feats)
+
+    # K boxes per grid step to amortize per-step control overhead; bounded by
+    # VMEM (patch scratch = 2 slots * K * 2 sub-patches * PATCH*PATCH_X*C)
+    K = 4 if jnp.dtype(feats[0].dtype).itemsize <= 2 else 2
+    pad_n = (-N) % K
+    if pad_n:
+        img = jnp.pad(img, (0, pad_n))
+        lvl = jnp.pad(lvl, (0, pad_n))
+        oy = jnp.pad(oy, (0, 2 * pad_n))
+        ox = jnp.pad(ox, (0, 2 * pad_n))
+        wy = jnp.pad(wy, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+    Np = N + pad_n
+    n_steps = Np // K
+
+    def kernel(*args):
+        img_ref, lvl_ref, oy_ref, ox_ref = args[:4]
+        feat_refs = args[4:4 + n_levels]
+        wy_ref, wx_ref, out_ref, patch_buf, sems = args[4 + n_levels:]
+        i = pl.program_id(0)
+        num = pl.num_programs(0)
+
+        def needs_q1(box):
+            return (oy_ref[2 * box] != oy_ref[2 * box + 1]) | (
+                ox_ref[2 * box] != ox_ref[2 * box + 1]
+            )
+
+        def start_dma(step, slot):
+            for k in range(K):
+                box = step * K + k
+                im = img_ref[box]
+                ll = lvl_ref[box]
+                q1 = needs_q1(box)
+                for q in range(2):
+                    yy = oy_ref[2 * box + q]
+                    # origins are 8-aligned in _plan; Mosaic needs the proof
+                    xx = pl.multiple_of(ox_ref[2 * box + q], 8)
+                    for l in range(n_levels):
+                        # compact boxes skip the split sub-patch: its weights
+                        # are zero, so the stale buffer contributes nothing
+                        @pl.when((ll == l) & ((q == 0) | q1))
+                        def _():
+                            pltpu.make_async_copy(
+                                feat_refs[l].at[im, pl.ds(yy, PATCH), pl.ds(xx, PATCH_X), :],
+                                patch_buf.at[slot, k, q],
+                                sems.at[slot, k, q],
+                            ).start()
+
+        @pl.when(i == 0)
+        def _():
+            start_dma(0, 0)
+
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < num)
+        def _():
+            start_dma(i + 1, next_slot)
+
+        for k in range(K):
+            box = i * K + k
+            # byte counts are level-independent, so any descriptor can wait
+            q1_here = needs_q1(box)
+            for q in range(2):
+                @pl.when((q == 0) | q1_here)
+                def _():
+                    pltpu.make_async_copy(
+                        feat_refs[0].at[0, pl.ds(0, PATCH), pl.ds(0, PATCH_X), :],
+                        patch_buf.at[slot, k, q],
+                        sems.at[slot, k, q],
+                    ).wait()
+
+            acc = jnp.zeros((P, P, C), jnp.float32)
+            for q in range(2):
+                pt = patch_buf[slot, k, q]  # (PATCH, PATCH_X, C)
+                wy_b = wy_ref[k, q].astype(pt.dtype)  # (P, PATCH)
+                wx_b = wx_ref[k, q].astype(pt.dtype)  # (P, PATCH_X)
+                prec = (jax.lax.Precision.HIGHEST if pt.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT)
+                a = jax.lax.dot_general(
+                    wy_b, pt.reshape(PATCH, PATCH_X * C),
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=prec,
+                ).astype(pt.dtype).reshape(P, PATCH_X, C)
+                b = jax.lax.dot_general(
+                    wx_b, a, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (P_x, P_y, C)
+                acc = acc + jnp.transpose(b, (1, 0, 2))
+            out_ref[k] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_levels
+        + [
+            pl.BlockSpec((K, 2, P, PATCH), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2, P, PATCH_X), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, P, P, C), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, 2, PATCH, PATCH_X, C), dtype),
+            pltpu.SemaphoreType.DMA((2, K, 2)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, P, P, C), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(img, lvl, oy, ox, *feats, wy, wx)
+    return out[:N].reshape(B, N // B, P, P, C)
