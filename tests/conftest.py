@@ -19,3 +19,7 @@ import jax  # noqa: E402
 # The axon TPU plugin can override JAX_PLATFORMS; pin explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
