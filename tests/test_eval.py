@@ -1,0 +1,199 @@
+"""Evaluation suite tests: GT-echo gives AP=100, controlled degradations."""
+import numpy as np
+import pytest
+
+from omni3d_tpu.evaluation.omni3d_eval import (
+    Omni3DEval,
+    Omni3DEvaluationHelper,
+    Omni3DParams,
+    box3d_overlap,
+    gts_from_api,
+)
+from omni3d_tpu.utils import geometry as G
+
+import jax.numpy as jnp
+
+
+def make_gt_dt(n_images=4, cats=(1, 2), seed=0, perturb=0.0, drop=0):
+    """Synthetic GT + echo DT (optionally perturbed / dropped)."""
+    rng = np.random.default_rng(seed)
+    gts, dts = [], []
+    gid = did = 1
+    for img in range(n_images):
+        for cat in cats:
+            for _ in range(rng.integers(1, 3)):
+                x, y = rng.uniform(0, 80, 2)
+                w, h = rng.uniform(10, 40, 2)
+                z = rng.uniform(2, 40)
+                dims = rng.uniform(0.5, 2.0, 3)
+                c3d = [rng.uniform(-1, 1), rng.uniform(-1, 1), z]
+                verts = np.asarray(G.cuboid_verts(
+                    jnp.asarray([*c3d, *dims], jnp.float32)))
+                gts.append({
+                    "id": gid, "image_id": img, "category_id": cat,
+                    "bbox": [x, y, w, h], "area": w * h, "depth": z,
+                    "ignore2D": False, "ignore3D": False,
+                    "bbox3D": verts.tolist(),
+                })
+                gid += 1
+                if drop and (gid % drop == 0):
+                    continue
+                verts_d = verts + perturb * rng.standard_normal(3)[None]
+                dts.append({
+                    "id": did, "image_id": img, "category_id": cat,
+                    "bbox": [x + perturb, y, w, h], "area": w * h,
+                    "score": float(rng.uniform(0.5, 1.0)),
+                    "depth": z, "bbox3D": verts_d.tolist(),
+                })
+                did += 1
+    return gts, dts
+
+
+class TestParams:
+    def test_thresholds(self):
+        p2 = Omni3DParams("2D")
+        np.testing.assert_allclose(p2.iouThrs, np.linspace(0.5, 0.95, 10))
+        p3 = Omni3DParams("3D")
+        np.testing.assert_allclose(p3.iouThrs, np.linspace(0.05, 0.5, 10))
+        assert p3.areaRng[1:] == [[0, 10], [10, 35], [35, 1e5]]
+
+
+class TestBox3DOverlap:
+    def test_identity(self):
+        v = np.asarray(G.cuboid_verts(jnp.asarray([0, 0, 5, 1, 1, 1.0])))[None]
+        iou = box3d_overlap(v, v)
+        np.testing.assert_allclose(iou, [[1.0]], atol=1e-4)
+
+    def test_degenerate_dt_zeroed(self):
+        v = np.asarray(G.cuboid_verts(jnp.asarray([0, 0, 5, 1, 1, 1.0])))[None]
+        flat = v.copy()
+        flat[0, :, 1] = 0.0  # zero height -> zero volume
+        iou = box3d_overlap(flat, v)
+        np.testing.assert_allclose(iou, [[0.0]], atol=1e-6)
+
+    def test_empty(self):
+        assert box3d_overlap(np.zeros((0, 8, 3)), np.zeros((3, 8, 3))).shape == (0, 3)
+
+
+class TestOmni3DEval:
+    def test_perfect_predictions_ap100(self):
+        gts, dts = make_gt_dt()
+        for mode in ("2D", "3D"):
+            ev = Omni3DEval(gts, dts, mode=mode)
+            ev.evaluate()
+            ev.accumulate()
+            stats = ev.summarize()
+            key = "AP2D" if mode == "2D" else "AP3D"
+            assert stats[key] == pytest.approx(100.0, abs=0.5), stats
+
+    def test_dropped_predictions_reduce_recall(self):
+        gts, dts = make_gt_dt(drop=2)
+        ev = Omni3DEval(gts, dts, mode="2D")
+        ev.evaluate()
+        ev.accumulate()
+        stats = ev.summarize()
+        assert stats["AP2D"] < 90.0
+        assert stats["AR2D@100"] < 90.0
+
+    def test_perturbed_3d_lowers_high_iou_ap(self):
+        gts, dts = make_gt_dt(perturb=0.15)
+        ev = Omni3DEval(gts, dts, mode="3D")
+        ev.evaluate()
+        ev.accumulate()
+        stats = ev.summarize()
+        # low-threshold AP (0.05-0.15) stays high, strict AP@50 drops more
+        assert stats["AP3D@15"] > stats["AP3D@50"] - 1e-6
+
+    def test_ignored_gts_dont_count(self):
+        gts, dts = make_gt_dt()
+        for g in gts:
+            g["ignore2D"] = True
+            g["ignore3D"] = True
+        ev = Omni3DEval(gts, [], mode="2D")
+        ev.evaluate()
+        ev.accumulate()
+        stats = ev.summarize()
+        assert stats["AP2D"] == -1.0  # nothing evaluable
+
+    def test_depth_ranges(self):
+        # one near gt (z=5) one far (z=50); echo predictions
+        gts, dts = [], []
+        for i, z in enumerate([5.0, 50.0]):
+            verts = np.asarray(G.cuboid_verts(jnp.asarray([0, 0, z, 1, 1, 1.0])))
+            gts.append({"id": i + 1, "image_id": 0, "category_id": 1,
+                        "bbox": [0, 0, 10, 10], "area": 100, "depth": z,
+                        "ignore2D": False, "ignore3D": False, "bbox3D": verts.tolist()})
+            dts.append({"id": i + 1, "image_id": 0, "category_id": 1,
+                        "bbox": [0, 0, 10, 10], "score": 0.9, "depth": z,
+                        "bbox3D": verts.tolist()})
+        ev = Omni3DEval(gts, dts, mode="3D")
+        ev.evaluate()
+        ev.accumulate()
+        stats = ev.summarize()
+        assert stats["AP3D-n"] == pytest.approx(100.0, abs=0.5)
+        assert stats["AP3D-f"] == pytest.approx(100.0, abs=0.5)
+
+    def test_proximity_mode_ignores_far_detections(self):
+        gts, dts = make_gt_dt(n_images=2)
+        # add spurious detections far away from any gt box
+        extra = []
+        for i, d in enumerate(dts[:3]):
+            e = dict(d)
+            e["id"] = 9000 + i
+            e["bbox"] = [500.0, 500.0, 20.0, 20.0]
+            e["score"] = 0.99
+            v = np.asarray(e["bbox3D"]) + 100.0
+            e["bbox3D"] = v.tolist()
+            extra.append(e)
+        # without proximity: spurious dts are false positives -> AP drops
+        ev = Omni3DEval(gts, dts + extra, mode="2D", eval_prox=False)
+        ev.evaluate(); ev.accumulate()
+        ap_plain = ev.summarize()["AP2D"]
+        # with proximity: they're outside all gt neighborhoods -> ignored
+        ev2 = Omni3DEval(gts, dts + extra, mode="2D", eval_prox=True)
+        ev2.evaluate(); ev2.accumulate()
+        ap_prox = ev2.summarize()["AP2D"]
+        assert ap_prox == pytest.approx(100.0, abs=0.5)
+        assert ap_plain < ap_prox
+
+    def test_per_category(self):
+        gts, dts = make_gt_dt()
+        ev = Omni3DEval(gts, dts, mode="2D")
+        ev.evaluate(); ev.accumulate(); ev.summarize()
+        pc = ev.per_category_ap()
+        assert set(pc) == {1, 2}
+        for v in pc.values():
+            assert v == pytest.approx(100.0, abs=0.5)
+
+
+class TestHelper:
+    def test_concat_reaccumulation(self):
+        helper = Omni3DEvaluationHelper(["A_test", "B_test"], {})
+
+        class FakeAPI:
+            def __init__(self, gts):
+                self.dataset = {"annotations": gts}
+
+        for i, name in enumerate(["A_test", "B_test"]):
+            gts, dts = make_gt_dt(seed=i)
+            anns = [{
+                "id": g["id"] + 100 * i, "image_id": g["image_id"] + 100 * i,
+                "category_id": g["category_id"], "bbox": g["bbox"],
+                "area": g["area"], "center_cam": [0, 0, g["depth"]],
+                "ignore": False, "bbox3D_cam": g["bbox3D"],
+            } for g in gts]
+            preds = [{**d, "id": d["id"] + 100 * i, "image_id": d["image_id"] + 100 * i}
+                     for d in dts]
+            helper.add_predictions(name, preds, FakeAPI(anns))
+            res = helper.evaluate(name)
+            assert res["AP2D"] == pytest.approx(100.0, abs=0.5)
+            assert res["AP3D"] == pytest.approx(100.0, abs=0.5)
+
+        allres = helper.summarize_all()
+        assert allres["Concat/AP2D"] == pytest.approx(100.0, abs=0.5)
+        assert allres["Concat/AP3D"] == pytest.approx(100.0, abs=0.5)
+
+    def test_prox_dataset_detection(self):
+        assert Omni3DEvaluationHelper.eval_prox_for("SUNRGBD_test")
+        assert Omni3DEvaluationHelper.eval_prox_for("Objectron_val")
+        assert not Omni3DEvaluationHelper.eval_prox_for("KITTI_test")
