@@ -323,8 +323,12 @@ def simple_register(dataset_name, filter_settings, filter_empty=False,
     """reference datasets.py:125-138."""
     if datasets_root_path is None:
         datasets_root_path = os.path.join("datasets", "Omni3D")
+        image_root = "datasets"
+    else:
+        # json dir is <root>/Omni3D; images live under <root>/ (reference
+        # layout: datasets/Omni3D/*.json + datasets/<dataset>/... images)
+        image_root = os.path.dirname(os.path.abspath(datasets_root_path))
     path_to_json = os.path.join(datasets_root_path, dataset_name + ".json")
-    image_root = "datasets"
     register_dataset(dataset_name, lambda: load_omni3d_json(
         path_to_json, image_root, dataset_name, filter_settings, filter_empty
     ))

@@ -1,0 +1,196 @@
+"""Training/eval driver loops (host orchestration around the jitted steps).
+
+Equivalent of the reference engine (tools/train_net.py do_train:117-316,
+do_test:56-114, retry loop main:431-467) redesigned for TPU SPMD:
+
+  * DDP/NCCL bookkeeping disappears — the jitted train step is already
+    globally sharded (engine/train.py),
+  * the stabilizer's NaN/Inf skip happens in-graph; the host tracks the
+    rolling-mean loss spike protocol (GAMMA/TOLERANCE, train_net.py:159-210)
+    and the exploded-iteration budget that triggers restart-from-checkpoint
+    (train_net.py:253-285, MODEL.STABILIZE),
+  * evaluation shards the test set per process and funnels predictions into
+    the Omni3D evaluation helper.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import build as data_build
+from ..data import datasets as data_lib
+from ..evaluation.omni3d_eval import (
+    Omni3DEvaluationHelper,
+    instances_to_predictions,
+)
+from ..models.rcnn3d import CubeRCNN, inference_step, preprocess
+from ..solver.build import build_lr_schedule, build_optimizer
+from ..utils import checkpoint as ckpt
+from ..utils.events import EventStorage
+from .train import TrainState, create_train_state, make_mesh, make_train_step
+
+GAMMA = 0.02       # rolling-mean momentum (train_net.py:164)
+TOLERANCE = 4.0    # divergence tolerance (train_net.py:165)
+MAX_TRAINING_ATTEMPTS = 10
+
+
+def build_eval_model(cfg):
+    from ..config.cfg import StaticCfg
+
+    scfg = cfg if not hasattr(cfg, "clone") else StaticCfg(cfg.clone())
+    return CubeRCNN(cfg=scfg, train_mode=False,
+                    dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32)
+
+
+def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
+                          storage=None):
+    """Inference over one test dataset -> prediction dicts
+    (reference inference_on_dataset, omni3d_evaluation.py:522-641)."""
+    loader, n_total = data_build.build_detection_test_loader(cfg, dataset_name)
+    contig_to_dataset = {v: k for k, v in id_map.items()}
+    predictions = []
+    next_id = 1
+    t_data = t_compute = 0.0
+    t0 = time.perf_counter()
+    for batch, records in loader:
+        t_data += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = inference_step(
+            variables, model,
+            jnp.asarray(batch["images"]), jnp.asarray(batch["Ks"]),
+            jnp.asarray(batch["ratios"]),
+            topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+        )
+        out = jax.tree.map(lambda t: np.asarray(t, np.float32), out)
+        t_compute += time.perf_counter() - t0
+        for b, rec in enumerate(records):
+            det = {k: v[b] for k, v in out.items()}
+            preds = instances_to_predictions(det, rec["image_id"],
+                                             contig_to_dataset, next_id)
+            next_id += len(preds)
+            predictions.extend(preds)
+        t0 = time.perf_counter()
+    if storage is not None:
+        storage.put_scalar(f"eval/{dataset_name}/data_s", t_data)
+        storage.put_scalar(f"eval/{dataset_name}/compute_s", t_compute)
+    return predictions
+
+
+def do_test(cfg, model, variables, output_dir=None, storage=None,
+            datasets_root=None):
+    """Evaluate every cfg.DATASETS.TEST dataset (reference do_test:56-114)."""
+    filter_settings = data_lib.get_filter_settings_from_cfg(cfg)
+    id_map = data_lib.metadata("omni3d_model")["thing_dataset_id_to_contiguous_id"]
+    helper = Omni3DEvaluationHelper(list(cfg.DATASETS.TEST), filter_settings,
+                                    output_dir)
+    results = {}
+    for name in cfg.DATASETS.TEST:
+        preds = run_inference_dataset(cfg, model, variables, name, id_map, storage)
+        json_file = data_lib.metadata(name).get("json_file")
+        gt_api = data_lib.Omni3D([json_file], dict(filter_settings))
+        helper.add_predictions(name, preds, gt_api)
+        results[name] = helper.evaluate(name)
+        print(f"[eval] {name}: " + "  ".join(
+            f"{k}={v:.2f}" for k, v in results[name].items()
+            if k in ("AP2D", "AP3D")))
+    results["summary"] = helper.summarize_all()
+    if results["summary"]:
+        print("[eval] " + "  ".join(
+            f"{k}={v:.2f}" for k, v in results["summary"].items()
+            if k.endswith(("AP2D", "AP3D"))))
+    return results
+
+
+def do_train(cfg, scfg, output_dir: str, resume: bool = False,
+             max_steps: int | None = None, mesh=None, records=None,
+             priors=None, eval_fn=None, seed: int = 0):
+    """One training attempt; returns (success, state).
+
+    success=False signals the retry protocol to restart from the last
+    checkpoint (reference do_train returning False, train_net.py:258-285).
+    """
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    model = CubeRCNN(cfg=scfg, train_mode=True, dtype=dtype)
+    tx = build_optimizer(cfg)
+    schedule = build_lr_schedule(cfg)
+
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(seed),
+                               priors=priors)
+    start_iter = 0
+    loaded = ckpt.resume_or_load(output_dir) if resume else None
+    if loaded is not None:
+        tree, extra = loaded
+        state = jax.tree.map(jnp.asarray, tree)
+        start_iter = int(extra.get("iteration", 0)) + 1
+
+    step_fn = make_train_step(scfg, model, tx, mesh=mesh)
+    loader = data_build.build_detection_train_loader(
+        cfg, records=records,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        seed=seed,
+    )
+
+    max_iter = max_steps or cfg.SOLVER.MAX_ITER
+    period = cfg.SOLVER.CHECKPOINT_PERIOD
+    checkpointer = ckpt.PeriodicCheckpointer(output_dir, period, max_iter)
+    storage = EventStorage(output_dir, start_iter=start_iter)
+    rng = jax.random.PRNGKey(seed + 100)
+
+    rolling_mean = None
+    iters_done = 0
+    iters_exploded = 0
+
+    for iteration in range(start_iter, max_iter):
+        batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+        state, logs = step_fn(state, batch, rng)
+        total = float(logs["total_loss"])
+        finite = bool(logs["finite"] > 0)
+
+        # rolling-mean divergence protocol (train_net.py:159-285)
+        diverging = (not finite) or (
+            rolling_mean is not None and total > TOLERANCE * rolling_mean
+        )
+        if not diverging and np.isfinite(total):
+            rolling_mean = total if rolling_mean is None else (
+                (1 - GAMMA) * rolling_mean + GAMMA * total
+            )
+        iters_done += 1
+        iters_exploded += int(diverging)
+        if iters_done >= max(period // 2, 20):
+            if iters_exploded / iters_done > cfg.MODEL.STABILIZE:
+                print(f"[train] unstable: {iters_exploded}/{iters_done} "
+                      f"exploded iterations; restarting from checkpoint")
+                storage.close()
+                return False, state
+            iters_done = iters_exploded = 0
+
+        for k, v in logs.items():
+            storage.put_scalar(k, v)
+        if iteration % 20 == 0:
+            print("[train] " + storage.log_line(max_iter, lr=float(schedule(iteration))))
+        storage.write()
+        storage.step()
+
+        if jax.process_index() == 0:
+            checkpointer.step(iteration, state, {"iteration": iteration})
+        if eval_fn is not None and (iteration + 1) % cfg.TEST.EVAL_PERIOD == 0:
+            eval_fn(state, iteration)
+
+    storage.close()
+    return True, state
+
+
+def train_with_retries(cfg, scfg, output_dir, **kwargs):
+    """Retry-on-divergence wrapper (reference main:431-467)."""
+    for attempt in range(MAX_TRAINING_ATTEMPTS):
+        ok, state = do_train(cfg, scfg, output_dir,
+                             resume=(attempt > 0) or kwargs.pop("resume", False),
+                             **kwargs)
+        if ok:
+            return state
+        print(f"[train] attempt {attempt + 1} failed; retrying")
+    raise RuntimeError("Training diverged in all attempts")

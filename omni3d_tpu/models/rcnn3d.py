@@ -45,6 +45,18 @@ def build_bottom_up(cfg, train: bool, dtype):
     if name == "build_resnet_from_vision_fpn_backbone":
         depth = cfg.MODEL.RESNETS.DEPTH
         return ResNet(depth=depth, train=train, dtype=dtype), resnet_out_channels(depth)
+    if name == "build_densenet_fpn_backbone":
+        from .extra_backbones import DenseNet121, densenet_out_channels
+
+        return DenseNet121(train=train, dtype=dtype), densenet_out_channels()
+    if name == "build_mnasnet_fpn_backbone":
+        from .extra_backbones import MNASNet10, mnasnet_out_channels
+
+        return MNASNet10(train=train, dtype=dtype), mnasnet_out_channels()
+    if name == "build_shufflenet_fpn_backbone":
+        from .extra_backbones import ShuffleNetV2, shufflenet_out_channels
+
+        return ShuffleNetV2(train=train, dtype=dtype), shufflenet_out_channels()
     raise ValueError(f"Unknown backbone builder {name}")
 
 

@@ -1,0 +1,64 @@
+"""Minimal metrics logging: terminal + metrics.json lines.
+
+Replaces the detectron2 EventStorage/writer stack the reference uses
+(tools/train_net.py:130,174; SURVEY §5.5) with a small scalar logger.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict, deque
+
+
+class EventStorage:
+    def __init__(self, output_dir: str | None = None, window: int = 20,
+                 start_iter: int = 0):
+        self.iter = start_iter
+        self._history = defaultdict(lambda: deque(maxlen=window))
+        self._latest = {}
+        self._file = None
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self._file = open(os.path.join(output_dir, "metrics.json"), "a")
+        self._t0 = time.time()
+
+    def put_scalar(self, name: str, value):
+        value = float(value)
+        self._history[name].append(value)
+        self._latest[name] = value
+
+    def put_scalars(self, **kwargs):
+        for k, v in kwargs.items():
+            self.put_scalar(k, v)
+
+    def median(self, name):
+        h = sorted(self._history[name])
+        return h[len(h) // 2] if h else float("nan")
+
+    def write(self):
+        if self._file:
+            rec = {"iteration": self.iter, **self._latest}
+            self._file.write(json.dumps(rec) + "\n")
+            self._file.flush()
+
+    def log_line(self, max_iter: int, lr=None) -> str:
+        eta = ""
+        if self.iter > 0:
+            per_iter = (time.time() - self._t0) / max(self.iter, 1)
+            rem = per_iter * (max_iter - self.iter)
+            eta = f"eta: {rem / 3600:.2f}h  "
+        parts = [f"iter: {self.iter}/{max_iter}", eta.strip()]
+        for k in sorted(self._latest):
+            if k.startswith(("rpn/", "BoxHead/", "Cube/", "total")):
+                parts.append(f"{k}: {self.median(k):.4f}")
+        if lr is not None:
+            parts.append(f"lr: {lr:.6f}")
+        return "  ".join(p for p in parts if p)
+
+    def step(self):
+        self.iter += 1
+
+    def close(self):
+        if self._file:
+            self._file.close()

@@ -126,3 +126,49 @@ class TestEndToEnd:
         s2 = np.asarray(out["scores_2d"])
         valid = np.asarray(out["valid"])
         assert np.all(s[valid] <= np.sqrt(s2[valid]) + 1e-5)
+
+
+class TestExtraBackbones:
+    @pytest.mark.parametrize("name,expect_ch", [
+        ("build_densenet_fpn_backbone", {"p2": 256, "p5": 1024}),
+        ("build_mnasnet_fpn_backbone", {"p2": 24, "p5": 320}),
+        ("build_shufflenet_fpn_backbone", {"p2": 24, "p5": 464}),
+    ])
+    def test_shapes(self, name, expect_ch):
+        from omni3d_tpu.models.rcnn3d import build_bottom_up
+        cfg = get_default_cfg()
+        cfg.MODEL.BACKBONE.NAME = name
+        m, ch = build_bottom_up(StaticCfg(cfg), False, jnp.float32)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(variables, x)
+        for k, c in expect_ch.items():
+            assert ch[k] == c
+            assert out[k].shape[-1] == c, (name, k, out[k].shape)
+        for k, s in zip(["p2", "p3", "p4", "p5", "p6"], [4, 8, 16, 32, 64]):
+            assert out[k].shape[1] == 64 // s, (name, k)
+
+    def test_densenet_param_count(self):
+        # torchvision densenet121 features: ~7.0M params
+        from omni3d_tpu.models.extra_backbones import DenseNet121
+        m = DenseNet121()
+        variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+        assert 6.8e6 < n < 7.2e6, n
+
+    def test_mnasnet_param_count(self):
+        # torchvision mnasnet1.0 trunk (without classifier/final 1280 conv): ~3.1M
+        from omni3d_tpu.models.extra_backbones import MNASNet10
+        m = MNASNet10()
+        variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+        assert 2.5e6 < n < 3.5e6, n
+
+    def test_shufflenet_param_count(self):
+        # torchvision shufflenet_v2_x1_0 through stage4 (the reference taps
+        # stage4 as p5 and never calls conv5, shufflenet.py:27-43): ~0.78M
+        from omni3d_tpu.models.extra_backbones import ShuffleNetV2
+        m = ShuffleNetV2()
+        variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+        assert 0.7e6 < n < 0.9e6, n
