@@ -192,10 +192,14 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
 
     # ---- cube branch on the foreground slots ----
     if cfg.MODEL.ROI_CUBE_HEAD.LOSS_W_3D > 0:
+        from ..models.heads import scale_proposals
+
         fg_boxes = sampled["boxes"][:, :F]
         fg_classes = jnp.clip(sampled["classes"][:, :F], 0, C - 1)
         fg_mask = sampled["fg"][:, :F]
-        pooled_cube = jax.vmap(pool)(flist, fg_boxes)
+        pooled_cube = jax.vmap(pool)(
+            flist, scale_proposals(fg_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
+        )
         cube_out = model.apply(
             variables, pooled_cube.reshape(B * F, *pooled_cube.shape[2:]),
             method=CubeRCNN.cube_branch,

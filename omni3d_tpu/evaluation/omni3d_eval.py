@@ -247,26 +247,39 @@ class Omni3DEval:
         dtIg = np.zeros((T, D))
 
         if len(ious):
-            for tind, t in enumerate(p.iouThrs):
-                for dind, d in enumerate(dt):
-                    iou = min(t, 1 - 1e-10)
-                    m = -1
-                    for gind in range(G):
-                        if self.eval_prox and not in_prox[dind, gind]:
+            from . import native
+
+            dt_ids = np.asarray([d["id"] for d in dt], np.int64)
+            gt_ids = np.asarray([g["id"] for g in gt], np.int64)
+            if native.available():
+                dtm, gtm, dt_ig8 = native.greedy_match(
+                    np.asarray(ious, np.float32)[:D], np.asarray(p.iouThrs),
+                    gtIg.astype(np.uint8),
+                    np.asarray(in_prox, bool)[:D] if self.eval_prox else None,
+                    dt_ids, gt_ids,
+                )
+                dtIg = dt_ig8.astype(np.float64)
+            else:
+                for tind, t in enumerate(p.iouThrs):
+                    for dind, d in enumerate(dt):
+                        iou = min(t, 1 - 1e-10)
+                        m = -1
+                        for gind in range(G):
+                            if self.eval_prox and not in_prox[dind, gind]:
+                                continue
+                            if gtm[tind, gind] > 0:
+                                continue
+                            if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
+                                break
+                            if ious[dind, gind] < iou:
+                                continue
+                            iou = ious[dind, gind]
+                            m = gind
+                        if m == -1:
                             continue
-                        if gtm[tind, gind] > 0:
-                            continue
-                        if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
-                            break
-                        if ious[dind, gind] < iou:
-                            continue
-                        iou = ious[dind, gind]
-                        m = gind
-                    if m == -1:
-                        continue
-                    dtIg[tind, dind] = gtIg[m]
-                    dtm[tind, dind] = gt[m]["id"]
-                    gtm[tind, m] = d["id"]
+                        dtIg[tind, dind] = gtIg[m]
+                        dtm[tind, dind] = gt[m]["id"]
+                        gtm[tind, m] = d["id"]
 
         a = np.array(
             [d[flag_range] < aRng[0] or d[flag_range] > aRng[1] for d in dt]

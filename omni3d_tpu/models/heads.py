@@ -109,6 +109,20 @@ def fast_rcnn_inference(scores, deltas, proposal_boxes, proposal_valid, image_hw
     }
 
 
+def scale_proposals(boxes: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Zoom RoIs about their centers before cube pooling
+    (reference roi_heads.py:306-324 scale_proposals; the reference computes
+    heights from the x-extent — an apparent bug we do not reproduce since the
+    option defaults off)."""
+    if factor <= 0:
+        return boxes
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    w = (boxes[..., 2] - boxes[..., 0]) * factor * 0.5
+    h = (boxes[..., 3] - boxes[..., 1]) * factor * 0.5
+    return jnp.stack([cx - w, cy - h, cx + w, cy + h], axis=-1)
+
+
 class CubeHead(nn.Module):
     """3D cuboid regression head (reference cube_head.py:19-197).
 

@@ -27,7 +27,8 @@ from ..utils import boxes as box_ops
 from . import anchors as anchor_lib
 from .dla import DLA, dla_out_channels
 from .fpn import FPN
-from .heads import BoxHead, CubeHead, FastRCNNPredictor, decode_cube, fast_rcnn_inference, select_per_class
+from .heads import (BoxHead, CubeHead, FastRCNNPredictor, decode_cube,
+                    fast_rcnn_inference, scale_proposals, select_per_class)
 from .resnet import ResNet, resnet_out_channels
 from .rpn import RPNHead, select_proposals
 
@@ -222,7 +223,8 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
 
     # ---- cube branch ----
     det_boxes = dets["boxes"]  # (B, K, 4) network-res
-    pooled_cube = pool_box(flist, det_boxes)
+    cube_boxes = scale_proposals(det_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
+    pooled_cube = pool_box(flist, cube_boxes)
     cube_out = model.apply(
         params, pooled_cube.reshape(B * topk, *pooled_cube.shape[2:]),
         method=CubeRCNN.cube_branch,

@@ -188,21 +188,63 @@ def cube_losses(cube, fg_mask, gt_boxes3D, gt_poses, Ks_scaled, cfg_head,
     dims = cube["dims"]
     pose = cube["pose"]
 
-    # disentangled substitutions (roi_heads.py:567-603)
-    dis_z = jnp.concatenate([backproject(gt_2d[:, 0], gt_2d[:, 1], z), gt_dims], -1)
-    loss_z = l1_corner_loss(G.cuboid_verts(dis_z, gt_poses), gt_corners)
+    if cfg_head.DISENTANGLED_LOSS:
+        # disentangled substitutions (roi_heads.py:567-603)
+        dis_z = jnp.concatenate([backproject(gt_2d[:, 0], gt_2d[:, 1], z), gt_dims], -1)
+        loss_z = l1_corner_loss(G.cuboid_verts(dis_z, gt_poses), gt_corners)
 
-    dis_xy = jnp.concatenate([backproject(x, y, gt_z), gt_dims], -1)
-    loss_xy = l1_corner_loss(G.cuboid_verts(dis_xy, gt_poses), gt_corners)
+        dis_xy = jnp.concatenate([backproject(x, y, gt_z), gt_dims], -1)
+        loss_xy = l1_corner_loss(G.cuboid_verts(dis_xy, gt_poses), gt_corners)
 
-    dis_dims = jnp.concatenate([gt_3d, dims], -1)
-    loss_dims = l1_corner_loss(G.cuboid_verts(dis_dims, gt_poses), gt_corners)
+        dis_dims = jnp.concatenate([gt_3d, dims], -1)
+        loss_dims = l1_corner_loss(G.cuboid_verts(dis_dims, gt_poses), gt_corners)
 
-    pose_corners = G.cuboid_verts(gt_box3d, pose)
-    if cfg_head.CHAMFER_POSE:
-        loss_pose = chamfer_corner_loss(pose_corners, gt_corners)
+        pose_corners = G.cuboid_verts(gt_box3d, pose)
+        if cfg_head.CHAMFER_POSE:
+            loss_pose = chamfer_corner_loss(pose_corners, gt_corners)
+        else:
+            loss_pose = l1_corner_loss(pose_corners, gt_corners)
     else:
-        loss_pose = l1_corner_loss(pose_corners, gt_corners)
+        # non-disentangled variants (roi_heads.py:606-649)
+        sw = src_boxes[:, 2] - src_boxes[:, 0]
+        sh = src_boxes[:, 3] - src_boxes[:, 1]
+        scx = src_boxes[:, 0] + 0.5 * sw
+        scy = src_boxes[:, 1] + 0.5 * sh
+        gt_deltas = (gt_2d - jnp.stack([scx, scy], -1)) / jnp.stack(
+            [jnp.maximum(sw, 1e-6), jnp.maximum(sh, 1e-6)], -1
+        )
+        loss_xy = jnp.abs(cube["deltas"] - gt_deltas).mean(-1)
+
+        if cfg_head.DIMS_PRIORS_ENABLED:
+            # dims_norm compared to log(gt/prior_mean) (roi_heads.py:620-622)
+            prior_mean = dims / jnp.exp(jnp.clip(cube["dims_norm"], None, 5.0))
+            tgt = jnp.log(jnp.maximum(gt_dims, 1e-6) / jnp.maximum(prior_mean, 1e-6))
+            loss_dims = jnp.abs(cube["dims_norm"] - tgt).mean(-1)
+        else:
+            loss_dims = jnp.abs(
+                cube["dims_norm"] - jnp.log(jnp.maximum(gt_dims, 1e-6))
+            ).mean(-1)
+
+        if cfg_head.ALLOCENTRIC_POSE:
+            gt_allo = G.R_to_allocentric(
+                Ks_scaled, gt_poses, lax.stop_gradient(x), lax.stop_gradient(y)
+            )
+            loss_pose = 1.0 - G.so3_relative_angle(
+                cube["pose_allo"], gt_allo, eps=0.1, cos_angle=True
+            )
+        else:
+            loss_pose = 1.0 - G.so3_relative_angle(pose, gt_poses, eps=0.1, cos_angle=True)
+
+        r2v = 1.0 / jnp.maximum(cube["virtual_to_real"], 1e-8)
+        zt = cfg_head.Z_TYPE
+        if zt == "direct":
+            loss_z = jnp.abs(z - gt_z)
+        elif zt == "sigmoid":
+            loss_z = jnp.abs(cube["z_norm"] - jnp.clip(gt_z * r2v / 100.0, 0, 1))
+        elif zt == "log":
+            loss_z = jnp.abs(cube["z_norm"] - jnp.log(jnp.clip(gt_z * r2v, 0.01)))
+        else:  # clusters: z_norm trained toward standardized virtual depth
+            loss_z = jnp.abs(cube["z_norm"] - gt_z * r2v)
 
     losses = {}
     metrics = {}

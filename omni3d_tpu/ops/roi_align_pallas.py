@@ -283,7 +283,13 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                     wx_b, a, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )  # (P_x, P_y, C)
-                acc = acc + jnp.transpose(b, (1, 0, 2))
+                contrib = jnp.transpose(b, (1, 0, 2))
+                if q == 1:
+                    # skipped sub-patches read stale scratch: even with zero
+                    # weights, 0 * NaN/Inf garbage = NaN — mask, don't rely
+                    # on the weights (the intermittent-NaN bug of record)
+                    contrib = jnp.where(q1_here, contrib, 0.0)
+                acc = acc + contrib
             out_ref[k] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -197,3 +197,56 @@ class TestHelper:
         assert Omni3DEvaluationHelper.eval_prox_for("SUNRGBD_test")
         assert Omni3DEvaluationHelper.eval_prox_for("Objectron_val")
         assert not Omni3DEvaluationHelper.eval_prox_for("KITTI_test")
+
+
+class TestNativeMatcher:
+    def test_native_matches_python(self):
+        """The C++ matcher must agree with the python loop bit-for-bit."""
+        from omni3d_tpu.evaluation import native
+        if not native.available():
+            pytest.skip("native matcher unavailable")
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            D, G = rng.integers(1, 12, 2)
+            ious = rng.uniform(0, 1, (D, G)).astype(np.float32)
+            thrs = np.linspace(0.05, 0.5, 10)
+            gtIg = rng.integers(0, 2, G).astype(np.uint8)
+            # sort gts ignore-last like _evaluate_img does
+            order = np.argsort(gtIg, kind="mergesort")
+            gtIg = gtIg[order]
+            ious = ious[:, order]
+            use_prox = trial % 2 == 0
+            prox = rng.random((D, G)) > 0.3 if use_prox else None
+            dt_ids = np.arange(1, D + 1, dtype=np.int64)
+            gt_ids = np.arange(101, 101 + G, dtype=np.int64)
+
+            dtm_c, gtm_c, dtig_c = native.greedy_match(
+                ious, thrs, gtIg, prox, dt_ids, gt_ids)
+
+            T = len(thrs)
+            dtm = np.zeros((T, D)); gtm = np.zeros((T, G)); dtIg = np.zeros((T, D))
+            for t_i, t in enumerate(thrs):
+                for d in range(D):
+                    iou = min(t, 1 - 1e-10); m = -1
+                    for g in range(G):
+                        if use_prox and not prox[d, g]:
+                            continue
+                        if gtm[t_i, g] > 0:
+                            continue
+                        if m > -1 and gtIg[m] == 0 and gtIg[g] == 1:
+                            break
+                        if ious[d, g] < iou:
+                            continue
+                        iou = ious[d, g]; m = g
+                    if m == -1:
+                        continue
+                    dtIg[t_i, d] = gtIg[m]
+                    dtm[t_i, d] = gt_ids[m]
+                    gtm[t_i, m] = dt_ids[d]
+            np.testing.assert_array_equal(dtm_c, dtm, err_msg=f"trial {trial}")
+            np.testing.assert_array_equal(gtm_c, gtm)
+            np.testing.assert_array_equal(dtig_c.astype(np.float64), dtIg)
+
+    def test_available(self):
+        from omni3d_tpu.evaluation import native
+        assert native.available()  # g++ is part of the baked toolchain
