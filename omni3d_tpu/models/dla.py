@@ -20,12 +20,19 @@ import jax.numpy as jnp
 from .layers import BatchNorm, Conv, ConvBN, max_pool
 
 # variant -> (levels per stage, channels per stage, block)
+# (reference dla.py:312-415 model builders; _r = residual roots, x = grouped
+# BottleneckX with cardinality 32, x2 = cardinality 64)
 DLA_SPECS = {
-    "dla34":   ([1, 1, 1, 2, 2, 1], [16, 32, 64, 128, 256, 512], "basic"),
-    "dla46_c": ([1, 1, 1, 2, 2, 1], [16, 32, 64, 64, 128, 256], "bottleneck"),
-    "dla60":   ([1, 1, 1, 2, 3, 1], [16, 32, 128, 256, 512, 1024], "bottleneck"),
-    "dla102":  ([1, 1, 1, 3, 4, 1], [16, 32, 128, 256, 512, 1024], "bottleneck_r"),
-    "dla169":  ([1, 1, 2, 3, 5, 1], [16, 32, 128, 256, 512, 1024], "bottleneck_r"),
+    "dla34":    ([1, 1, 1, 2, 2, 1], [16, 32, 64, 128, 256, 512], "basic"),
+    "dla46_c":  ([1, 1, 1, 2, 2, 1], [16, 32, 64, 64, 128, 256], "bottleneck"),
+    "dla46x_c": ([1, 1, 1, 2, 2, 1], [16, 32, 64, 64, 128, 256], "bottleneckx"),
+    "dla60x_c": ([1, 1, 1, 2, 3, 1], [16, 32, 64, 64, 128, 256], "bottleneckx"),
+    "dla60":    ([1, 1, 1, 2, 3, 1], [16, 32, 128, 256, 512, 1024], "bottleneck"),
+    "dla60x":   ([1, 1, 1, 2, 3, 1], [16, 32, 128, 256, 512, 1024], "bottleneckx"),
+    "dla102":   ([1, 1, 1, 3, 4, 1], [16, 32, 128, 256, 512, 1024], "bottleneck_r"),
+    "dla102x":  ([1, 1, 1, 3, 4, 1], [16, 32, 128, 256, 512, 1024], "bottleneckx_r"),
+    "dla102x2": ([1, 1, 1, 3, 4, 1], [16, 32, 128, 256, 512, 1024], "bottleneckx2_r"),
+    "dla169":   ([1, 1, 2, 3, 5, 1], [16, 32, 128, 256, 512, 1024], "bottleneck_r"),
 }
 
 
@@ -66,7 +73,41 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
-_BLOCKS = {"basic": BasicBlock, "bottleneck": Bottleneck, "bottleneck_r": Bottleneck}
+class BottleneckX(nn.Module):
+    """Grouped (ResNeXt-style) bottleneck: 1x1 -> grouped 3x3 -> 1x1
+    (reference dla.py:112-153; bottle planes = features * cardinality / 32)."""
+
+    features: int
+    stride: int = 1
+    cardinality: int = 32
+    train: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        mid = self.features * self.cardinality // 32
+        out = ConvBN(mid, 1, 1, train=self.train, dtype=self.dtype, name="conv1")(x)
+        out = ConvBN(mid, 3, self.stride, groups=self.cardinality,
+                     train=self.train, dtype=self.dtype, name="conv2")(out)
+        out = ConvBN(self.features, 1, 1, relu=False, train=self.train,
+                     dtype=self.dtype, name="conv3")(out)
+        return nn.relu(out + residual)
+
+
+class BottleneckX2(BottleneckX):
+    cardinality: int = 64
+
+
+_BLOCKS = {
+    "basic": BasicBlock,
+    "bottleneck": Bottleneck,
+    "bottleneck_r": Bottleneck,
+    "bottleneckx": BottleneckX,
+    "bottleneckx_r": BottleneckX,
+    "bottleneckx2_r": BottleneckX2,
+}
 
 
 class Root(nn.Module):
@@ -148,11 +189,13 @@ class DLA(nn.Module):
     @nn.compact
     def __call__(self, x):
         levels, channels, block = DLA_SPECS[self.variant]
-        residual_root = self.variant in ("dla102", "dla169")
+        residual_root = self.variant in ("dla102", "dla102x", "dla102x2", "dla169")
         t = dict(train=self.train, dtype=self.dtype)
 
-        x = ConvBN(channels[0], 7, 1, **t, name="base_layer")(x)
-        x = ConvBN(channels[0], 3, 1, **t, name="level0")(x)
+        # s2d=4: the full-resolution stem convs (C=3..16) underfill MXU
+        # lanes; evaluate them in space-to-depth form (exact, see layers.Conv)
+        x = ConvBN(channels[0], 7, 1, s2d=4, **t, name="base_layer")(x)
+        x = ConvBN(channels[0], 3, 1, s2d=4, **t, name="level0")(x)
         x = ConvBN(channels[1], 3, 2, **t, name="level1")(x)
         l2 = Tree(levels[2], block, channels[1], channels[2], 2,
                   root_residual=residual_root, **t, name="level2")(x)

@@ -155,7 +155,7 @@ def preprocess(images_bgr: jnp.ndarray, pixel_mean, pixel_std) -> jnp.ndarray:
 def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
                    score_thresh=0.01, nms_thresh=0.5, topk=100, nms_candidates=1024,
                    pre_nms_topk=1000, post_nms_topk=1000, rpn_nms_thresh=0.7,
-                   sampling_ratio=2):
+                   sampling_ratio=2, oracle=None):
     """End-to-end Cube R-CNN inference on a padded batch.
 
     Args:
@@ -163,6 +163,10 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
       images: (B, H, W, 3) normalized BGR at network resolution.
       Ks: (B, 3, 3) ORIGINAL-resolution intrinsics.
       im_scales_ratio: (B,) original_height / network_height.
+      oracle: optional (boxes (B, K, 4) net-res, classes (B, K), valid (B, K))
+        — bypasses the RPN + 2D box branch and runs only the cube branch on
+        the given GT 2D boxes with score 1 (reference rcnn3d.py:98-101,
+        roi_heads.py:229-240).
 
     Returns dict of per-image padded detections (see fast_rcnn_inference) plus
       center_cam (B,K,3), dims (B,K,3), pose (B,K,3,3), corners (B,K,8,3),
@@ -175,6 +179,23 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
 
     feats = model.apply(params, images, method=CubeRCNN.features)
     flist = [feats[f] for f in FEATURE_NAMES]  # stays in model dtype: pooling gathers are HBM-bound
+
+    if oracle is not None:
+        o_boxes, o_classes, o_valid = oracle
+        topk = o_boxes.shape[1]
+        dets = {
+            "boxes": o_boxes,
+            "scores": jnp.where(o_valid, 1.0, 0.0),
+            "classes": o_classes.astype(jnp.int32),
+            "valid": o_valid,
+            "scores_full": jnp.zeros((B, topk, C), jnp.float32),
+        }
+        prop_boxes = o_boxes
+        prop_valid = o_valid
+        return _cube_branch_outputs(params, model, flist, dets, Ks,
+                                    im_scales_ratio, sampling_ratio,
+                                    prop_boxes, prop_valid)
+
     logits, deltas = model.apply(params, flist, method=CubeRCNN.rpn)
 
     anchors = [
@@ -221,10 +242,21 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
         )
     )(scores2d, deltas2d, prop_boxes, prop_valid)
 
-    # ---- cube branch ----
+    return _cube_branch_outputs(params, model, flist, dets, Ks, im_scales_ratio,
+                                sampling_ratio, prop_boxes, prop_valid)
+
+
+def _cube_branch_outputs(params, model, flist, dets, Ks, im_scales_ratio,
+                         sampling_ratio, prop_boxes, prop_valid):
+    """Cube branch + output packing shared by normal and oracle inference."""
+    cfg = model.cfg
     det_boxes = dets["boxes"]  # (B, K, 4) network-res
+    B, topk = det_boxes.shape[:2]
     cube_boxes = scale_proposals(det_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
-    pooled_cube = pool_box(flist, cube_boxes)
+    pooled_cube = multilevel_roi_align_pallas_batched(
+        flist, cube_boxes, list(FEATURE_STRIDES),
+        cfg.MODEL.ROI_CUBE_HEAD.POOLER_RESOLUTION, sampling_ratio,
+    )
     cube_out = model.apply(
         params, pooled_cube.reshape(B * topk, *pooled_cube.shape[2:]),
         method=CubeRCNN.cube_branch,

@@ -186,22 +186,34 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     wx = wx.reshape(NB, 2, P, S, PATCH_X).mean(axis=3)
     N = NB
 
+    # Stack every level of every image into ONE (rows, Wmax, C) buffer so the
+    # kernel needs a single unconditional DMA per sub-patch (dynamic row
+    # offset) instead of per-level predicated branches. ~1.5x padded memory;
+    # removes 5x2xK @pl.when blocks of control overhead per grid step.
+    Wmax = max(max(-(-f.shape[2] // 8) * 8, PATCH_X) for f in features)
     feats = []
+    row_off, off = [], 0
     for f in features:
         ph = max(PATCH - f.shape[1], 0)
-        pw = max(-(-f.shape[2] // 8) * 8, PATCH_X) - f.shape[2]
-        if ph or pw:
-            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        f = jnp.pad(f, ((0, 0), (0, ph), (0, Wmax - f.shape[2]), (0, 0)))
+        row_off.append(off)
+        off += f.shape[1]
         feats.append(f)
-    dtype = feats[0].dtype
-    n_levels = len(feats)
+    rows_per_img = off
+    flat = jnp.concatenate(feats, axis=1).reshape(-1, Wmax, C)  # (B*rows, Wmax, C)
+    dtype = flat.dtype
+    row_off = np.asarray(row_off, np.int32)
+
+    # per-box absolute row origin: img * rows_per_img + level offset + y0
+    oy = (oy.reshape(NB, 2)
+          + img[:, None] * rows_per_img
+          + jnp.asarray(row_off)[lvl][:, None]).reshape(-1)
 
     # K boxes per grid step to amortize per-step control overhead; bounded by
     # VMEM (patch scratch = 2 slots * K * 2 sub-patches * PATCH*PATCH_X*C)
-    K = 4 if jnp.dtype(feats[0].dtype).itemsize <= 2 else 2
+    K = 4 if jnp.dtype(dtype).itemsize <= 2 else 2
     pad_n = (-N) % K
     if pad_n:
-        img = jnp.pad(img, (0, pad_n))
         lvl = jnp.pad(lvl, (0, pad_n))
         oy = jnp.pad(oy, (0, 2 * pad_n))
         ox = jnp.pad(ox, (0, 2 * pad_n))
@@ -211,9 +223,9 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     n_steps = Np // K
 
     def kernel(*args):
-        img_ref, lvl_ref, oy_ref, ox_ref = args[:4]
-        feat_refs = args[4:4 + n_levels]
-        wy_ref, wx_ref, out_ref, patch_buf, sems = args[4 + n_levels:]
+        oy_ref, ox_ref = args[:2]
+        flat_ref = args[2]
+        wy_ref, wx_ref, out_ref, patch_buf, sems = args[3:]
         i = pl.program_id(0)
         num = pl.num_programs(0)
 
@@ -225,23 +237,21 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         def start_dma(step, slot):
             for k in range(K):
                 box = step * K + k
-                im = img_ref[box]
-                ll = lvl_ref[box]
                 q1 = needs_q1(box)
                 for q in range(2):
-                    yy = oy_ref[2 * box + q]
+                    yy = oy_ref[2 * box + q]  # absolute row (img+level folded)
                     # origins are 8-aligned in _plan; Mosaic needs the proof
                     xx = pl.multiple_of(ox_ref[2 * box + q], 8)
-                    for l in range(n_levels):
-                        # compact boxes skip the split sub-patch: its weights
-                        # are zero, so the stale buffer contributes nothing
-                        @pl.when((ll == l) & ((q == 0) | q1))
-                        def _():
-                            pltpu.make_async_copy(
-                                feat_refs[l].at[im, pl.ds(yy, PATCH), pl.ds(xx, PATCH_X), :],
-                                patch_buf.at[slot, k, q],
-                                sems.at[slot, k, q],
-                            ).start()
+
+                    # compact boxes skip the split sub-patch (its
+                    # contribution is masked to zero in the compute)
+                    @pl.when((q == 0) | q1)
+                    def _():
+                        pltpu.make_async_copy(
+                            flat_ref.at[pl.ds(yy, PATCH), pl.ds(xx, PATCH_X), :],
+                            patch_buf.at[slot, k, q],
+                            sems.at[slot, k, q],
+                        ).start()
 
         @pl.when(i == 0)
         def _():
@@ -256,13 +266,12 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
 
         for k in range(K):
             box = i * K + k
-            # byte counts are level-independent, so any descriptor can wait
             q1_here = needs_q1(box)
             for q in range(2):
                 @pl.when((q == 0) | q1_here)
                 def _():
                     pltpu.make_async_copy(
-                        feat_refs[0].at[0, pl.ds(0, PATCH), pl.ds(0, PATCH_X), :],
+                        flat_ref.at[pl.ds(0, PATCH), pl.ds(0, PATCH_X), :],
                         patch_buf.at[slot, k, q],
                         sems.at[slot, k, q],
                     ).wait()
@@ -293,10 +302,10 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
             out_ref[k] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_levels
-        + [
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((K, 2, P, PATCH), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 2, P, PATCH_X), lambda i, *_: (i, 0, 0, 0),
@@ -315,5 +324,5 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         out_shape=jax.ShapeDtypeStruct((Np, P, P, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(img, lvl, oy, ox, *feats, wy, wx)
+    )(oy, ox, flat, wy, wx)
     return out[:N].reshape(B, N // B, P, P, C)
