@@ -32,7 +32,7 @@ from ..models.roi_training import (
     label_and_sample_proposals,
 )
 from ..models.rpn import label_and_sample_anchors, rpn_losses, select_proposals
-from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align_pallas import multilevel_roi_align_fast
 from ..solver.build import build_lr_schedule
 
 
@@ -89,7 +89,9 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
     else:
         feats = model.apply(variables, images, method=CubeRCNN.features)
         new_bs = batch_stats
-    flist = [feats[f].astype(jnp.float32) for f in FEATURE_NAMES]
+    # keep features in model dtype: upcasting here makes XLA hoist the
+    # convert into the convs (conv_f32 runs ~1000x slower on this backend)
+    flist = [feats[f] for f in FEATURE_NAMES]
     logits, deltas = model.apply(variables, flist, method=CubeRCNN.rpn)
     logits = [l.astype(jnp.float32) for l in logits]
     deltas = [d.astype(jnp.float32) for d in deltas]
@@ -158,13 +160,14 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
       batch["gt_valid"])
 
     # ---- box branch ----
-    def pool(feats_i, boxes_i):
-        return multilevel_roi_align(
-            feats_i, boxes_i, list(FEATURE_STRIDES),
+    def pool(boxes_b):
+        # pallas forward + XLA-transpose backward (linear op, exact VJP)
+        return multilevel_roi_align_fast(
+            tuple(flist), boxes_b, FEATURE_STRIDES,
             cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION, cfg.TPU.ROI_SAMPLING_RATIO,
         )
 
-    pooled = jax.vmap(pool)(flist, sampled["boxes"])
+    pooled = pool(sampled["boxes"])
     scores2d, deltas2d = model.apply(
         variables, pooled.reshape(B * S, *pooled.shape[2:]), method=CubeRCNN.box_branch
     )
@@ -197,8 +200,8 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
         fg_boxes = sampled["boxes"][:, :F]
         fg_classes = jnp.clip(sampled["classes"][:, :F], 0, C - 1)
         fg_mask = sampled["fg"][:, :F]
-        pooled_cube = jax.vmap(pool)(
-            flist, scale_proposals(fg_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
+        pooled_cube = pool(
+            scale_proposals(fg_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
         )
         cube_out = model.apply(
             variables, pooled_cube.reshape(B * F, *pooled_cube.shape[2:]),

@@ -184,6 +184,7 @@ class DLA(nn.Module):
 
     variant: str = "dla34"
     train: bool = False
+    stem_s2d: int = 4  # space-to-depth factor for the full-res stem convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -194,8 +195,8 @@ class DLA(nn.Module):
 
         # s2d=4: the full-resolution stem convs (C=3..16) underfill MXU
         # lanes; evaluate them in space-to-depth form (exact, see layers.Conv)
-        x = ConvBN(channels[0], 7, 1, s2d=4, **t, name="base_layer")(x)
-        x = ConvBN(channels[0], 3, 1, s2d=4, **t, name="level0")(x)
+        x = ConvBN(channels[0], 7, 1, s2d=self.stem_s2d, **t, name="base_layer")(x)
+        x = ConvBN(channels[0], 3, 1, s2d=self.stem_s2d, **t, name="level0")(x)
         x = ConvBN(channels[1], 3, 2, **t, name="level1")(x)
         l2 = Tree(levels[2], block, channels[1], channels[2], 2,
                   root_residual=residual_root, **t, name="level2")(x)

@@ -77,8 +77,8 @@ def label_and_sample_proposals(rng, proposals, proposal_valid, gt_boxes, gt_clas
     num_pos = jnp.minimum(jnp.sum(fg), max_pos)
     num_neg = jnp.minimum(jnp.sum(bg), batch_size - num_pos)
     logw = jnp.log(matched_iou + eps)
-    pos_sel = gumbel_topk_mask(rng_pos, logw, num_pos, fg)
-    neg_sel = gumbel_topk_mask(rng_neg, logw, num_neg, bg)
+    pos_sel = gumbel_topk_mask(rng_pos, logw, num_pos, fg, max_k=max_pos)
+    neg_sel = gumbel_topk_mask(rng_neg, logw, num_neg, bg, max_k=batch_size)
 
     # compact: positives first, then negatives, then the rest
     key = jnp.where(pos_sel, 2.0, jnp.where(neg_sel, 1.0, 0.0))

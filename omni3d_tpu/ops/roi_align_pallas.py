@@ -326,3 +326,50 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         interpret=interpret,
     )(oy, ox, flat, wy, wx)
     return out[:N].reshape(B, N // B, P, P, C)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def multilevel_roi_align_fast(features, boxes, strides, out_size=7,
+                              sampling_ratio=2, min_level=2):
+    """Differentiable pooler: pallas kernel forward, XLA-transpose backward.
+
+    RoI pooling is linear in the features, so the backward pass reuses the
+    XLA gather formulation's VJP (a scatter-add); the hot forward runs the
+    patch-DMA kernel. `strides` must be a tuple (static).
+    """
+    return multilevel_roi_align_pallas_batched(
+        list(features), boxes, list(strides), out_size, sampling_ratio, min_level
+    )
+
+
+def _fast_fwd(features, boxes, strides, out_size, sampling_ratio, min_level):
+    out = multilevel_roi_align_pallas_batched(
+        list(features), boxes, list(strides), out_size, sampling_ratio, min_level
+    )
+    return out, (features, boxes)
+
+
+def _fast_bwd(strides, out_size, sampling_ratio, min_level, res, g):
+    from .roi_align import multilevel_roi_align
+
+    features, boxes = res
+
+    def xla_pool(feats):
+        return jax.vmap(
+            lambda fl, bx: multilevel_roi_align(
+                list(fl), bx, list(strides), out_size, sampling_ratio, min_level
+            )
+        )(feats, boxes)
+
+    _, vjp = jax.vjp(xla_pool, list(features))
+    (d_feats,) = vjp(g.astype(jnp.float32))
+    d_feats = [d.astype(f.dtype) for d, f in zip(d_feats, features)]
+    return tuple(d_feats), None
+
+
+multilevel_roi_align_fast.defvjp(
+    _fast_fwd, _fast_bwd,
+)

@@ -24,11 +24,16 @@ def area(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_intersection(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Intersection areas between all pairs. a: (M, 4), b: (N, 4) -> (M, N)."""
-    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
-    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0)
-    return wh[..., 0] * wh[..., 1]
+    """Intersection areas between all pairs. a: (M, 4), b: (N, 4) -> (M, N).
+
+    Computed coordinate-by-coordinate: broadcasting to (M, N, 2) puts 2 on
+    the TPU lane dimension (2/128 utilization, ~40x slower at detector scale).
+    """
+    ix1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    iy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    ix2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    iy2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    return jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
 
 
 def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

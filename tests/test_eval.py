@@ -250,3 +250,50 @@ class TestNativeMatcher:
     def test_available(self):
         from omni3d_tpu.evaluation import native
         assert native.available()  # g++ is part of the baked toolchain
+
+
+class TestRenderAndErrorStats:
+    def test_zbuffer_visibility(self):
+        import jax.numpy as jnp
+        from omni3d_tpu.utils.render import estimate_visibility, render_depth_map
+        K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+        # box B directly behind box A: A fully visible, B mostly occluded
+        boxes = np.array([[0, 0, 5, 2, 2, 2], [0, 0, 9, 2, 2, 2.0]])
+        poses = np.tile(np.eye(3), (2, 1, 1))
+        vis = estimate_visibility(K, boxes, poses, 64, 64)
+        assert vis[0] > 0.99
+        assert vis[1] < 0.2
+        sil, depth, inds = render_depth_map(K, boxes, poses, 64, 64)
+        d = np.asarray(depth)
+        assert np.isfinite(d).any()
+        # nearest face of box A is at z=4
+        assert abs(d[32, 32] - 4.0) < 0.1
+
+    def test_truncation(self):
+        from omni3d_tpu.utils.render import estimate_truncation
+        K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+        # centered box: no truncation
+        t0 = estimate_truncation(K, [0, 0, 10, 1, 1, 1], np.eye(3), 64, 64)
+        assert t0 < 0.05
+        # box far off to the side: heavily truncated
+        t1 = estimate_truncation(K, [5.0, 0, 10, 1, 1, 1], np.eye(3), 64, 64)
+        assert t1 > 0.5
+
+    def test_error_stats(self):
+        from omni3d_tpu.evaluation.error_stats import compute_error_stats
+        gts, dts = make_gt_dt()
+        for g in gts:
+            g["center_cam"] = [0.0, 0.0, g["depth"]]
+            g["dimensions"] = [1.0, 1.0, 1.0]
+            g["pose"] = np.eye(3).tolist()
+            g["ignore"] = False
+        for d in dts:
+            d["center_cam"] = [0.1, 0.0, d["depth"] + 0.5]
+            d["dimensions"] = [1.2, 1.0, 1.0]
+            d["pose"] = np.eye(3).tolist()
+        stats = compute_error_stats(dts, gts, score_thresh=0.0)
+        assert stats["n_matched"] > 0
+        assert abs(stats["mean_z_error"] - 0.5) < 1e-5
+        assert abs(stats["mean_xy_error"] - 0.1) < 1e-5
+        assert abs(stats["mean_whl_error"] - 0.2 / 3) < 1e-5
+        assert stats["mean_rot_deg_error"] < 1.0
