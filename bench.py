@@ -16,6 +16,7 @@ A100_REF_IMG_S (typical detectron2 two-stage bs=1 fp32 inference rate for a
 DLA34-FPN-class model), so the 5x target reads as vs_baseline >= 5.
 """
 import json
+import os
 import sys
 import time
 
@@ -29,6 +30,18 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    # when another process holds the TPU, jax silently falls back to CPU —
+    # refuse to publish CPU numbers as chip throughput
+    if jax.default_backend() != "tpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        print(json.dumps({
+            "metric": "DLA34-FPN 512px inference throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"TPU unavailable (backend={jax.default_backend()})",
+        }))
+        sys.exit(1)
 
     from omni3d_tpu.config.cfg import StaticCfg
     from omni3d_tpu.config.defaults import get_default_cfg

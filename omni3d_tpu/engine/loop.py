@@ -107,7 +107,8 @@ def do_test(cfg, model, variables, output_dir=None, storage=None,
 
 def do_train(cfg, scfg, output_dir: str, resume: bool = False,
              max_steps: int | None = None, mesh=None, records=None,
-             priors=None, eval_fn=None, seed: int = 0):
+             priors=None, eval_fn=None, seed: int = 0,
+             profile_dir: str | None = None):
     """One training attempt; returns (success, state).
 
     success=False signals the retry protocol to restart from the last
@@ -145,6 +146,11 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
     iters_exploded = 0
 
     for iteration in range(start_iter, max_iter):
+        # profile steps 10-14 (past compilation) when requested (SURVEY §5.1)
+        if profile_dir and iteration == start_iter + 10:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and iteration == start_iter + 15:
+            jax.profiler.stop_trace()
         batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
         state, logs = step_fn(state, batch, rng)
         total = float(logs["total_loss"])

@@ -162,3 +162,45 @@ class TestSamplers:
             for batch, recs in g:
                 ids += [r["image_id"] for r in recs]
         assert len(set(ids)) == 6
+
+
+class TestPriors:
+    def test_compute_priors(self, synth):
+        from omni3d_tpu.data.datasets import Omni3D, get_filter_settings_from_cfg
+        from omni3d_tpu.utils.priors import compute_priors, priors_to_params
+        cfg, root, json_path, fs = synth
+        api = Omni3D([json_path], dict(fs))
+        cats = ["chair", "table", "car"]
+        priors = compute_priors(cfg, api, cats)
+        dims = np.asarray(priors["priors_dims_per_cat"])
+        assert dims.shape == (3, 2, 3)
+        # synthetic dims drawn uniform(0.5, 1.4): means must land inside
+        assert (dims[:, 0] > 0.4).all() and (dims[:, 0] < 1.5).all()
+        assert np.isfinite(dims).all()
+        z = np.asarray(priors["priors_z3d_per_cat"])
+        assert z.shape == (3, 2) and (z[:, 0] > 0).all()
+        params = priors_to_params(priors, 3, cluster_bins=1)
+        assert params["priors_dims_per_cat"].shape == (3, 2, 3)
+
+    def test_compute_priors_cluster_bins(self, synth):
+        from omni3d_tpu.data.datasets import Omni3D, get_filter_settings_from_cfg
+        from omni3d_tpu.utils.priors import compute_priors, priors_to_params
+        cfg, root, json_path, fs = synth
+        cfg2 = cfg.clone()
+        cfg2.MODEL.ROI_CUBE_HEAD.CLUSTER_BINS = 2
+        api = Omni3D([json_path], dict(fs))
+        priors = compute_priors(cfg2, api, ["chair", "table", "car"])
+        assert len(priors["priors_bins"]) == 3
+        for cat, scales, bin_z in priors["priors_bins"]:
+            assert len(scales) == 2 and len(bin_z) == 2
+        params = priors_to_params(priors, 3, cluster_bins=2)
+        assert params["priors_z_scales"].shape == (3, 2)
+        assert params["priors_z_stats"].shape == (3, 2, 2)
+
+    def test_empty_category_gets_dummies(self, synth):
+        from omni3d_tpu.data.datasets import Omni3D
+        from omni3d_tpu.utils.priors import compute_priors
+        cfg, root, json_path, fs = synth
+        api = Omni3D([json_path], dict(fs))
+        priors = compute_priors(cfg, api, ["chair", "nonexistent_cat"])
+        assert priors["priors_dims_per_cat"][1] == [[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]]

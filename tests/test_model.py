@@ -172,3 +172,31 @@ class TestExtraBackbones:
         variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
         assert 0.7e6 < n < 0.9e6, n
+
+
+class TestOracleBypass:
+    def test_oracle_inference(self):
+        from omni3d_tpu.models.rcnn3d import inference_impl
+        cfg = small_cfg()
+        model = CubeRCNN(cfg=cfg)
+        H = W = 128
+        images = preprocess(
+            jnp.asarray(np.random.default_rng(0).integers(0, 255, (1, H, W, 3))),
+            cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
+        )
+        variables = model.init(jax.random.PRNGKey(0), images)
+        Ks = jnp.asarray([[[200.0, 0, 64], [0, 200.0, 64], [0, 0, 1]]])
+        ratios = jnp.ones(1)
+        o_boxes = jnp.asarray([[[10.0, 10.0, 60.0, 60.0], [30.0, 40.0, 90.0, 100.0]]])
+        o_classes = jnp.asarray([[1, 3]])
+        o_valid = jnp.asarray([[True, True]])
+        out = jax.jit(
+            lambda v, im: inference_impl(v, model, im, Ks, ratios,
+                                         oracle=(o_boxes, o_classes, o_valid)),
+            static_argnames=(),
+        )(variables, images)
+        # oracle boxes pass through untouched; scores fused from conf only
+        np.testing.assert_allclose(np.asarray(out["boxes"]), np.asarray(o_boxes), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out["classes"]), np.asarray(o_classes))
+        assert out["center_cam"].shape == (1, 2, 3)
+        assert np.all(np.isfinite(np.asarray(out["scores"], np.float32)))

@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--weights", default=None,
                    help="checkpoint to load: native .ckpt or reference .pth "
                         "(cubercnn:// URIs supported)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of training steps here")
     p.add_argument("--dist-init", default=None,
                    help="jax.distributed coordinator address for multi-host")
     p.add_argument("--num-processes", type=int, default=None)
@@ -143,6 +145,7 @@ def main():
     state = train_with_retries(
         cfg, scfg, output_dir, resume=args.resume, max_steps=args.max_steps,
         mesh=mesh, records=records, priors=prior_params, eval_fn=eval_fn,
+        profile_dir=args.profile_dir,
     )
     print("[train] finished")
     return state
