@@ -35,8 +35,14 @@ def parse_args():
 def main():
     args = parse_args()
 
+    import os
+
     import cv2
     import jax
+
+    # honor JAX_PLATFORMS even when a device plugin ignores the env var
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from omni3d_tpu.config.cfg import StaticCfg

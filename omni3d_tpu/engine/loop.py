@@ -38,6 +38,30 @@ TOLERANCE = 4.0    # divergence tolerance (train_net.py:165)
 MAX_TRAINING_ATTEMPTS = 10
 
 
+def visualize_training(cfg, eval_model, state, batch, storage):
+    """Write GT-vs-prediction panels for the first image of `batch`
+    (reference meta_arch/rcnn3d.py:70-72,114-245; runs an eval-mode
+    inference pass since the jitted train step only returns losses)."""
+    from ..vis.vis import visualize_training_sample
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = inference_step(
+        variables, eval_model,
+        batch["images"][0:1], batch["Ks"][0:1], batch["ratios"][0:1],
+        topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+    )
+    det = {k: np.asarray(v[0], np.float32) for k, v in out.items()}
+    host_batch = {k: np.asarray(v) for k, v in batch.items()}
+    try:
+        thing_classes = data_lib.metadata("omni3d_model")["thing_classes"]
+    except KeyError:
+        thing_classes = [str(i) for i in range(cfg.MODEL.ROI_HEADS.NUM_CLASSES)]
+    panels = visualize_training_sample(host_batch, det, cfg.MODEL.PIXEL_MEAN,
+                                       cfg.MODEL.PIXEL_STD, thing_classes)
+    storage.put_image("gt_vs_pred_2d", panels["2d"])
+    storage.put_image("gt_vs_pred_3d", panels["3d"])
+
+
 def build_eval_model(cfg):
     from ..config.cfg import StaticCfg
 
@@ -144,6 +168,7 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
     rolling_mean = None
     iters_done = 0
     iters_exploded = 0
+    vis_model = build_eval_model(cfg) if cfg.VIS_PERIOD > 0 else None
 
     for iteration in range(start_iter, max_iter):
         # profile steps 10-14 (past compilation) when requested (SURVEY §5.1)
@@ -173,6 +198,14 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
                 storage.close()
                 return False, state
             iters_done = iters_exploded = 0
+
+        if (vis_model is not None and iteration > 0
+                and iteration % cfg.VIS_PERIOD == 0
+                and jax.process_index() == 0):
+            try:
+                visualize_training(cfg, vis_model, state, batch, storage)
+            except Exception as e:  # vis must never kill a training run
+                print(f"[train] visualization failed: {e}")
 
         for k, v in logs.items():
             storage.put_scalar(k, v)

@@ -99,6 +99,16 @@ def flax_path_to_torch(path: tuple[str, ...]) -> str | None:
 
     if top == "backbone":
         rest = p[1:]
+        names = set(rest)
+        joined = " ".join(rest)
+        if any(n.startswith(("denseblock", "transition")) or n in ("conv0", "norm0", "norm5")
+               for n in rest):
+            return _densenet_torch_key(rest)
+        if any(n.startswith(("stack", "stem0", "stem_dw", "stem_pw")) for n in rest):
+            return _mnasnet_torch_key(rest)
+        if any(re.fullmatch(r"stage\d+_\d+", n) or n.startswith(("b1_", "b2_"))
+               for n in rest) or (len(rest) >= 2 and rest[0] == "conv1" and rest[1] in ("c", "n")):
+            return _shufflenet_torch_key(rest)
         out = ["backbone", "bottom_up"]
         i = 0
         while i < len(rest):
@@ -159,6 +169,67 @@ def flax_path_to_torch(path: tuple[str, ...]) -> str | None:
         return "roi_heads." + top
 
     return None
+
+
+def _densenet_torch_key(rest):
+    """DenseNet-121 mapping: reference wraps torchvision `features` as
+    `self.base` (reference densenet.py:16-19), so keys look like
+    backbone.bottom_up.base.denseblock1.denselayer1.conv1.weight."""
+    out = ["backbone", "bottom_up", "base"]
+    i = 0
+    while i < len(rest):
+        n = rest[i]
+        if n in ("conv", "bn") and i == len(rest) - 1:
+            i += 1  # flax leaf-module wrapper (layers.Conv 'conv' / BN 'bn')
+            continue
+        out.append(n)
+        i += 1
+    return ".".join(out)
+
+
+def _mnasnet_torch_key(rest):
+    """MNASNet-1.0: reference keeps torchvision `model.layers` as `self.base`
+    (reference mnasnet.py:16-19); stems are flat Sequential indices and each
+    inverted residual is `<stack>.<block>.layers.<idx>`."""
+    stem = {"stem0": ("0", "1"), "stem_dw": ("3", "4"), "stem_pw": ("6", "7")}
+    stack_base = {"stack1": 8, "stack2": 9, "stack3": 10, "stack4": 11,
+                  "stack5": 12, "stack6": 13}
+    sub = {"expand": ("0", "1"), "dw": ("3", "4"), "project": ("6", "7")}
+    kind = "c" if ("c" in rest or rest[-1] == "conv") else "n"
+    # identify pieces
+    if rest[0] in stem:
+        conv_i, bn_i = stem[rest[0]]
+        return f"backbone.bottom_up.base.{conv_i if kind == 'c' else bn_i}"
+    m = re.fullmatch(r"(stack\d)_(\d+)", rest[0])
+    if m:
+        base = stack_base[m.group(1)]
+        blk = m.group(2)
+        conv_i, bn_i = sub[rest[1]]
+        return (f"backbone.bottom_up.base.{base}.{blk}.layers."
+                f"{conv_i if kind == 'c' else bn_i}")
+    return None
+
+
+def _shufflenet_torch_key(rest):
+    """ShuffleNetV2-x1.0: torchvision attribute names (reference
+    shufflenet.py:16-22): conv1 Sequential + stage{2,3,4} of InvertedResidual
+    units with branch1/branch2 Sequentials."""
+    kind = "c" if "c" in rest else "n"
+    if rest[0] == "conv1":
+        return f"backbone.bottom_up.conv1.{'0' if kind == 'c' else '1'}"
+    m = re.fullmatch(r"(stage\d+)_(\d+)", rest[0])
+    if not m:
+        return None
+    prefix = f"backbone.bottom_up.{m.group(1)}.{m.group(2)}"
+    table = {
+        "b1_dw": ("branch1.0", "branch1.1"),
+        "b1_pw": ("branch1.2", "branch1.3"),
+        "b2_pw1": ("branch2.0", "branch2.1"),
+        "b2_dw": ("branch2.3", "branch2.4"),
+        "b2_pw2": ("branch2.5", "branch2.6"),
+    }
+    conv_k, bn_k = table[rest[1]]
+    return f"{prefix}.{conv_k if kind == 'c' else bn_k}"
 
 
 def convert_reference_checkpoint(state_dict: dict, params, batch_stats,

@@ -18,10 +18,25 @@ class EventStorage:
         self._history = defaultdict(lambda: deque(maxlen=window))
         self._latest = {}
         self._file = None
+        self._output_dir = output_dir
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self._file = open(os.path.join(output_dir, "metrics.json"), "a")
         self._t0 = time.time()
+
+    def put_image(self, name: str, image_rgb) -> str | None:
+        """Save a training visualization under <output_dir>/vis/ (replaces the
+        reference's tensorboard put_image, meta_arch/rcnn3d.py:158,245)."""
+        if not self._output_dir:
+            return None
+        import cv2
+        import numpy as np
+
+        vis_dir = os.path.join(self._output_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        path = os.path.join(vis_dir, f"iter_{self.iter:07d}_{name}.jpg")
+        cv2.imwrite(path, np.asarray(image_rgb)[..., ::-1])
+        return path
 
     def put_scalar(self, name: str, value):
         value = float(value)

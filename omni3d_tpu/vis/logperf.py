@@ -29,3 +29,13 @@ def print_ap_analysis_table(results: dict, title: str = "Omni3D analysis"):
 
 def print_dataset_results(results: dict):
     print_ap_analysis_table(results)
+
+
+def print_cross_dataset_table(summary: dict, title: str = "Cross-dataset"):
+    """Group `summarize_all`'s "<split>/<metric>" flat keys into one row per
+    split (Concat / Omni3D_In / Omni3D_Out) before tabulating."""
+    grouped: dict = {}
+    for k, v in summary.items():
+        split, _, metric = k.partition("/")
+        grouped.setdefault(split, {})[metric] = v
+    print_ap_analysis_table(grouped, title=title)

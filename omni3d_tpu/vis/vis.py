@@ -88,6 +88,74 @@ def draw_scene_view(image, K, centers, dims, poses, labels=None, colors=None,
     return img
 
 
+def visualize_training_sample(batch, det, pixel_mean, pixel_std, thing_classes,
+                              max_vis: int = 20, score_thresh: float = 0.25):
+    """GT-vs-prediction panels for one training image (host side).
+
+    Reimplements the reference's training-time visualization
+    (meta_arch/rcnn3d.py:114-245): a 2D panel (GT boxes | predicted boxes,
+    standing in for RPN proposals) and a 3D panel (GT cuboids | predicted
+    cuboids). `batch` is the collated training batch (numpy), `det` the
+    inference outputs for image 0. Returns {"2d": img, "3d": img} in RGB.
+
+    Unlike the reference (which pulls proposals/instances out of the
+    training-mode forward), predictions come from a separate eval-mode
+    inference pass — the jitted train step only returns losses.
+    """
+    h, w = (int(v) for v in batch["hw"][0])
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    img = np.clip(batch["images"][0, :h, :w] * std + mean, 0, 255).astype(np.uint8)
+    img = np.ascontiguousarray(img[..., ::-1])  # stored BGR-normalized -> RGB
+
+    ratio = float(batch["ratios"][0])
+    K_net = np.asarray(batch["Ks"][0], np.float64) / ratio
+    K_net[2, 2] = 1.0
+    fx, sx = K_net[0, 0], K_net[0, 2]
+    fy, sy = K_net[1, 1], K_net[1, 2]
+
+    # ---- GT: back-project (u, v, z) to camera XYZ (rcnn3d.py:188-199) ----
+    gvalid = batch["gt_valid"][0].astype(bool)
+    g3d = batch["gt_boxes3D"][0][gvalid]
+    gz = g3d[:, 2]
+    gt_centers = np.stack([gz * (g3d[:, 0] - sx) / fx,
+                           gz * (g3d[:, 1] - sy) / fy, gz], axis=1)
+    gt_dims = g3d[:, 3:6]
+    gt_poses = batch["gt_poses"][0][gvalid]
+    gt_classes = batch["gt_classes"][0][gvalid]
+    gt_labels = [thing_classes[int(c)] if 0 <= int(c) < len(thing_classes)
+                 else str(int(c)) for c in gt_classes]
+
+    # ---- predictions: top-scoring valid detections ----
+    keep = np.asarray(det["valid"], bool) & (np.asarray(det["scores"]) > score_thresh)
+    order = np.argsort(-np.asarray(det["scores"]))[:max_vis]
+    order = order[keep[order]]
+    pr_centers = np.asarray(det["center_cam"])[order]
+    pr_dims = np.asarray(det["dims"])[order]
+    pr_poses = np.asarray(det["pose"])[order]
+    pr_labels = [
+        f"{thing_classes[int(c)] if 0 <= int(c) < len(thing_classes) else int(c)}"
+        f" {s:.2f}"
+        for c, s in zip(np.asarray(det["classes"])[order],
+                        np.asarray(det["scores"])[order])
+    ]
+
+    img_gt2d = img.copy()
+    for b in batch["gt_boxes"][0][gvalid]:
+        draw_2d_box(img_gt2d, b, color=(0, 255, 0))
+    img_pr2d = img.copy()
+    for b in np.asarray(det["boxes"])[order]:
+        draw_2d_box(img_pr2d, b, color=(0, 200, 255))
+    vis2d = np.concatenate([img_gt2d, img_pr2d], axis=1)
+
+    img_gt3d = draw_scene_view(img, K_net, gt_centers, gt_dims, gt_poses,
+                               labels=gt_labels)
+    img_pr3d = draw_scene_view(img, K_net, pr_centers, pr_dims, pr_poses,
+                               labels=pr_labels)
+    vis3d = np.concatenate([img_gt3d, img_pr3d], axis=1)
+    return {"2d": vis2d, "3d": vis3d}
+
+
 def draw_bev(centers, dims, poses, canvas_hw=(400, 400), max_range=40.0,
              colors=None):
     """Bird's-eye-view footprint plot (reference vis.py:26-55)."""

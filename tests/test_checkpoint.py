@@ -114,6 +114,28 @@ class TestFullModelConversion:
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         return model, variables
 
+    @pytest.mark.parametrize("backbone,extra", [
+        ("build_dla_from_vision_fpn_backbone", {}),
+        ("build_resnet_from_vision_fpn_backbone", {"MODEL.RESNETS.DEPTH": 34}),
+        ("build_densenet_fpn_backbone", {}),
+        ("build_mnasnet_fpn_backbone", {}),
+        ("build_shufflenet_fpn_backbone", {}),
+    ])
+    def test_every_param_maps_and_loads_all_backbones(self, backbone, extra):
+        cfg = get_default_cfg()
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+        cfg.MODEL.BACKBONE.NAME = backbone
+        for k, v in extra.items():
+            cfg.merge_from_list([k, str(v)])
+        model = CubeRCNN(cfg=StaticCfg(cfg))
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        sd = synthesize_torch_state_dict(variables["params"], variables["batch_stats"])
+        new_params, new_stats, report = ckpt.convert_reference_checkpoint(
+            sd, variables["params"], variables["batch_stats"]
+        )
+        assert not report["missing"], (backbone, report["missing"][:5])
+        assert not report["unused"], (backbone, report["unused"][:5])
+
     def test_every_param_maps_and_loads(self, model_and_vars):
         model, variables = model_and_vars
         sd = synthesize_torch_state_dict(variables["params"], variables["batch_stats"])

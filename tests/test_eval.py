@@ -1,4 +1,6 @@
 """Evaluation suite tests: GT-echo gives AP=100, controlled degradations."""
+import os
+
 import numpy as np
 import pytest
 
@@ -297,3 +299,47 @@ class TestRenderAndErrorStats:
         assert abs(stats["mean_xy_error"] - 0.1) < 1e-5
         assert abs(stats["mean_whl_error"] - 0.2 / 3) < 1e-5
         assert stats["mean_rot_deg_error"] < 1.0
+
+
+class TestTrainingVisualization:
+    def test_visualize_training_sample(self, tmp_path):
+        from omni3d_tpu.utils.events import EventStorage
+        from omni3d_tpu.vis.vis import visualize_training_sample
+
+        B, G, K_det = 1, 4, 8
+        rng = np.random.default_rng(0)
+        batch = {
+            "images": rng.normal(size=(B, 64, 96, 3)).astype(np.float32),
+            "hw": np.array([[64.0, 96.0]], np.float32),
+            "Ks": np.array([[[100.0, 0, 48], [0, 100.0, 32], [0, 0, 1]]], np.float32),
+            "ratios": np.ones(B, np.float32),
+            "gt_boxes": np.array([[[10, 10, 40, 40]] * G], np.float32),
+            "gt_boxes3D": np.tile(
+                np.array([30.0, 25.0, 5.0, 1.0, 1.0, 1.0], np.float32), (B, G, 1)),
+            "gt_poses": np.tile(np.eye(3, dtype=np.float32), (B, G, 1, 1)),
+            "gt_classes": np.zeros((B, G), np.int32),
+            "gt_valid": np.array([[True, True, False, False]]),
+        }
+        det = {
+            "boxes": rng.uniform(5, 60, (K_det, 4)).astype(np.float32),
+            "scores": np.linspace(0.9, 0.1, K_det).astype(np.float32),
+            "classes": np.zeros(K_det, np.float32),
+            "valid": np.ones(K_det, np.float32),
+            "center_cam": np.tile([0.0, 0.0, 5.0], (K_det, 1)).astype(np.float32),
+            "dims": np.ones((K_det, 3), np.float32),
+            "pose": np.tile(np.eye(3, dtype=np.float32), (K_det, 1, 1)),
+        }
+        panels = visualize_training_sample(batch, det, [103.5, 116.3, 123.7],
+                                           [57.4, 57.1, 58.4], ["chair", "table"])
+        assert panels["2d"].shape == (64, 192, 3)
+        assert panels["3d"].shape == (64, 192, 3)
+        # GT panel differs from pred panel (boxes drawn in different places)
+        assert not np.array_equal(panels["3d"][:, :96], panels["3d"][:, 96:])
+
+        storage = EventStorage(str(tmp_path))
+        path = storage.put_image("gt_vs_pred_3d", panels["3d"])
+        assert path is not None and os.path.exists(path)
+
+    def test_put_image_no_output_dir(self):
+        from omni3d_tpu.utils.events import EventStorage
+        assert EventStorage().put_image("x", np.zeros((4, 4, 3), np.uint8)) is None

@@ -18,6 +18,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _pin_platform():
+    """Honor JAX_PLATFORMS even when a device plugin ignores the env var
+    (observed with the axon TPU plugin): pin via jax.config before any
+    backend initialization."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+_pin_platform()
+
+
 def parse_args():
     p = argparse.ArgumentParser(description="omni3d_tpu training")
     p.add_argument("--config-file", required=True)
@@ -101,7 +115,7 @@ def main():
     from omni3d_tpu.engine.loop import build_eval_model, do_test, train_with_retries
     from omni3d_tpu.engine.train import make_mesh
     from omni3d_tpu.utils.priors import compute_priors, priors_to_params
-    from omni3d_tpu.vis.logperf import print_ap_analysis_table
+    from omni3d_tpu.vis.logperf import print_ap_analysis_table, print_cross_dataset_table
 
     cfg, scfg, filter_settings, root = setup(args)
     output_dir = cfg.OUTPUT_DIR
@@ -121,7 +135,7 @@ def main():
         results = do_test(cfg, model, variables, output_dir)
         print_ap_analysis_table({k: v for k, v in results.items() if k != "summary"})
         if results["summary"]:
-            print_ap_analysis_table({"summary": results["summary"]}, title="Cross-dataset")
+            print_cross_dataset_table(results["summary"])
         return results
 
     # priors from the merged train annotations (reference main:380-424)
