@@ -58,7 +58,7 @@ def main():
     best = 0.0
     best_bs = 1
     params = None
-    for bs in (1, 8):
+    for bs in (1, 8, 32):
         imgs = preprocess(
             jnp.asarray(rng.integers(0, 255, (bs, H, W, 3), dtype=np.int32)),
             cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,

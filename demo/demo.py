@@ -7,7 +7,8 @@ Reference-compatible surface (reference demo/demo.py:159-203):
       [--threshold t] [--weights ckpt] [OPTS KEY VALUE ...]
 
 Without --focal-length, the reference default f = 4*H/2 = 2*H is used
-(demo.py:66-68). Writes <name>_boxes.jpg (2D+3D overlay) and <name>_bev.jpg.
+(demo.py:66-68). Writes <name>_boxes.jpg (2D+3D overlay), <name>_novel.jpg
+(shaded top-down novel view, reference demo.py:123-124) and <name>_bev.jpg.
 """
 import argparse
 import glob
@@ -49,7 +50,8 @@ def main():
     from omni3d_tpu.config.defaults import get_default_cfg
     from omni3d_tpu.data.mapper import pad_to_bucket, resize_shortest_edge
     from omni3d_tpu.models.rcnn3d import CubeRCNN, inference_step, preprocess
-    from omni3d_tpu.vis.vis import draw_2d_box, draw_bev, draw_scene_view, get_color
+    from omni3d_tpu.vis.vis import (draw_2d_box, draw_bev, get_color,
+                                    render_scene_view)
 
     cfg = get_default_cfg()
     cfg.merge_from_file(args.config_file)
@@ -125,8 +127,12 @@ def main():
             labels.append(label)
             colors.append(color)
         if centers:
-            vis_img = draw_scene_view(vis_img, K, centers, dims, poses,
-                                      labels=None, colors=colors)
+            views = render_scene_view(vis_img, K, centers, dims, poses,
+                                      colors=colors, mode="front_and_novel")
+            vis_img = views["front"]
+            # reference demo writes <name>_novel.jpg (demo/demo.py:123-124)
+            cv2.imwrite(os.path.join(out_dir, f"{name}_novel.jpg"),
+                        views["novel"])
             bev = draw_bev(centers, dims, poses, colors=colors)
             cv2.imwrite(os.path.join(out_dir, f"{name}_bev.jpg"), bev)
         cv2.imwrite(os.path.join(out_dir, f"{name}_boxes.jpg"), vis_img)

@@ -343,3 +343,40 @@ class TestTrainingVisualization:
     def test_put_image_no_output_dir(self):
         from omni3d_tpu.utils.events import EventStorage
         assert EventStorage().put_image("x", np.zeros((4, 4, 3), np.uint8)) is None
+
+
+def test_render_scene_view_front_and_novel():
+    """Shaded front render + auto-zoom novel view produce sane images
+    (reference vis.py:210-538)."""
+    import numpy as np
+
+    from omni3d_tpu.vis.vis import render_scene_view
+
+    img = np.full((120, 160, 3), 90, np.uint8)
+    K = np.array([[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1]])
+    centers = [[0.0, 0.5, 5.0], [1.0, 0.5, 8.0]]
+    dims = [[1.0, 1.0, 1.0], [0.5, 2.0, 0.5]]
+    poses = [np.eye(3), np.eye(3)]
+    out = render_scene_view(img, K, centers, dims, poses, labels=["a", "b"],
+                            scale=128)
+    front, novel = out["front"], out["novel"]
+    assert front.shape == img.shape and front.dtype == np.uint8
+    assert novel.shape == (128, 128, 3)
+    # front view must differ from the input where the boxes project
+    assert (front != img).any()
+    # novel view: ground grid (gray 175ish lines over 225 bg) + colored boxes
+    assert (novel != 225).any()
+    # a rendered box silhouette exists (some saturated color pixels)
+    assert (novel.astype(int).max(-1) - novel.astype(int).min(-1) > 30).any()
+
+
+def test_render_scene_view_empty():
+    import numpy as np
+
+    from omni3d_tpu.vis.vis import render_scene_view
+
+    img = np.zeros((60, 80, 3), np.uint8)
+    K = np.eye(3)
+    out = render_scene_view(img, K, [], [], [], scale=64)
+    assert out["front"].shape == img.shape
+    assert (out["novel"] == 225).all()
