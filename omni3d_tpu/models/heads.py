@@ -282,13 +282,16 @@ def decode_cube(outputs, classes, src_boxes, Ks_scaled, fy_net, priors_dims,
 
     # z decode (roi_heads.py:491-522)
     z_norm = z_raw
+    z_mean = z_std = None
     if z_type == "sigmoid":
         z_norm = jax.nn.sigmoid(z_raw)
         z = z_norm * 100.0
     elif z_type == "log":
         z = jnp.exp(z_raw)
     elif z_type == "clusters":
-        zm = priors_z_stats[classes]  # (N, B, 2)
+        # cluster stats are parameters but never learned (reference detaches
+        # them, roi_heads.py:509-511)
+        zm = lax.stop_gradient(priors_z_stats)[classes]  # (N, B, 2)
         z_mean = jnp.take_along_axis(zm[..., 0], assign[:, None], axis=1).squeeze(1)
         z_std = jnp.take_along_axis(zm[..., 1], assign[:, None], axis=1).squeeze(1)
         z = G.scaled_sigmoid(z_raw, jnp.clip(z_mean - 3 * z_std, 0.0), z_mean + 3 * z_std)
@@ -323,4 +326,6 @@ def decode_cube(outputs, classes, src_boxes, Ks_scaled, fy_net, priors_dims,
         "virtual_to_real": virtual_to_real,
         "deltas": deltas,
         "bin_assign": assign,
+        "z_mean": z_mean,
+        "z_std": z_std,
     }

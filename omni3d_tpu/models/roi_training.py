@@ -243,8 +243,10 @@ def cube_losses(cube, fg_mask, gt_boxes3D, gt_poses, Ks_scaled, cfg_head,
             loss_z = jnp.abs(cube["z_norm"] - jnp.clip(gt_z * r2v / 100.0, 0, 1))
         elif zt == "log":
             loss_z = jnp.abs(cube["z_norm"] - jnp.log(jnp.clip(gt_z * r2v, 0.01)))
-        else:  # clusters: z_norm trained toward standardized virtual depth
-            loss_z = jnp.abs(cube["z_norm"] - gt_z * r2v)
+        else:  # clusters: raw logit vs standardized virtual depth
+            # (reference roi_heads.py:648-649: ((gt_z*r2v) - z_mean) / z_std)
+            z_std = jnp.maximum(jnp.abs(cube["z_std"]), 1e-6)
+            loss_z = jnp.abs(cube["z_norm"] - (gt_z * r2v - cube["z_mean"]) / z_std)
 
     losses = {}
     metrics = {}

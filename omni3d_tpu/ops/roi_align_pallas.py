@@ -117,7 +117,18 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
                       0, jnp.maximum(limit.astype(jnp.int32) - 1, 0))
         t0 = (t0 // align) * align
         o0 = jnp.clip(t0, 0, pad_limit - patch)
-        o1 = jnp.where(split, jnp.clip(o0 + patch, 0, pad_limit - patch), o0)
+        # split only when the box's taps actually overflow the first window —
+        # boxes at their canonical FPN level (extent <= ~29 cells + alignment
+        # slack) always fit, so the second 655KB patch DMA is skipped for the
+        # vast majority of RoIs (the kernel tests oy0!=oy1 | ox0!=ox1)
+        lim = jnp.maximum(limit.astype(jnp.int32), 1)
+        t_last = jnp.minimum(
+            jnp.floor(jnp.clip(pos[:, -1], 0.0, None)).astype(jnp.int32) + 1,
+            lim - 1,
+        )
+        overflow = t_last >= o0 + patch
+        o1 = jnp.where(split & overflow,
+                       jnp.clip(o0 + patch, 0, pad_limit - patch), o0)
         return jnp.stack([o0, o1], axis=1)  # (N, 2)
 
     oy = origins(ys, Hs, Hpad, ~split_x, PATCH, 1)

@@ -1,0 +1,94 @@
+"""Pallas patch-DMA ROIAlign vs the XLA gather oracle.
+
+Runs the kernel in interpret mode on the CPU mesh; the same code path
+(including the plan: level routing, sub-patch origins, conditional split)
+is exercised as on hardware.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omni3d_tpu.ops import roi_align as ra_ops
+from omni3d_tpu.ops.roi_align_pallas import (
+    PATCH, multilevel_roi_align_pallas, multilevel_roi_align_pallas_batched)
+
+STRIDES = [4, 8, 16, 32, 64]
+
+
+def _pyramid(rng, img=256, C=8, B=None):
+    shapes = [(img // s, img // s, C) for s in STRIDES]
+    if B is None:
+        return [jnp.asarray(rng.standard_normal(s).astype(np.float32)) for s in shapes]
+    return [
+        jnp.asarray(rng.standard_normal((B,) + s).astype(np.float32)) for s in shapes
+    ]
+
+
+class TestPallasVsOracle:
+    def test_random_boxes(self):
+        rng = np.random.default_rng(0)
+        feats = _pyramid(rng)
+        xy = rng.uniform(0, 200, (32, 2)).astype(np.float32)
+        wh = rng.uniform(4, 55, (32, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
+        want = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    def test_large_and_edge_boxes(self):
+        rng = np.random.default_rng(1)
+        feats = _pyramid(rng)
+        boxes = jnp.asarray([
+            [0, 0, 255, 255],        # whole image -> top level
+            [0, 0, 30, 30],          # p2, split never needed
+            [200, 200, 255, 255],    # corner box
+            [0, 0, 4, 4],            # tiny
+            [250, 250, 256, 256],    # edge-touching
+        ], jnp.float32)
+        got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
+        want = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    def test_elongated_boxes_route_one_level_coarser(self):
+        """Documented deviation (PARITY.md): boxes too elongated to fit two
+        sub-patches at their assigned level pool from the next coarser level;
+        the values must exactly match a single-level oracle there."""
+        rng = np.random.default_rng(1)
+        feats = _pyramid(rng)
+        boxes = jnp.asarray([
+            [0, 0, 255, 40],         # elongated x: p2 -> p3
+            [10, 0, 40, 250],        # elongated y: p2 -> p3
+        ], jnp.float32)
+        got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
+        want = ra_ops.roi_align(feats[1], boxes, 7, 1.0 / 8, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    def test_split_is_skipped_for_canonical_boxes(self):
+        """Canonical-level boxes must plan a single sub-patch (oy0==oy1 and
+        ox0==ox1) — the 2nd patch DMA is the pooler's HBM bottleneck."""
+        from omni3d_tpu.ops.roi_align_pallas import _plan
+
+        rng = np.random.default_rng(2)
+        xy = rng.uniform(0, 120, (64, 2)).astype(np.float32)
+        side = rng.uniform(16, 100, (64, 1)).astype(np.float32)  # near-square
+        boxes = jnp.asarray(np.concatenate([xy, xy + side * rng.uniform(0.8, 1.25, (64, 1)), ], -1))
+        boxes = jnp.concatenate([boxes[:, :2], boxes[:, :2] + side], -1)
+        level_shapes = [(256 // s, 256 // s) for s in STRIDES]
+        lvl, oy, ox, wy, wx = _plan(boxes, STRIDES, level_shapes, 7, 2, 2)
+        assert bool(jnp.all(oy[:, 0] == oy[:, 1]))
+        assert bool(jnp.all(ox[:, 0] == ox[:, 1]))
+
+    def test_batched_matches_per_image(self):
+        rng = np.random.default_rng(3)
+        B = 3
+        feats = _pyramid(rng, B=B)
+        xy = rng.uniform(0, 200, (B, 5, 2)).astype(np.float32)
+        wh = rng.uniform(8, 50, (B, 5, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_pallas_batched(
+            feats, boxes, STRIDES, 7, 2, interpret=True)
+        for b in range(B):
+            want = ra_ops.multilevel_roi_align(
+                [f[b] for f in feats], boxes[b], STRIDES, 7, 2)
+            np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want), atol=2e-4)

@@ -1,0 +1,150 @@
+"""Stage-level timing of the inference pipeline on the real chip.
+
+Times each pipeline stage inside a jitted lax.scan (same methodology as
+bench.py: amortizes the axon tunnel RTT) so the per-stage costs sum to
+roughly the end-to-end step cost. All arrays are passed as jit arguments
+(closing over device arrays bakes them into the HLO as literals, which the
+axon remote-compile endpoint rejects at >100MB).
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timed(fn, args, n=10):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            # perturb the first float input by the carry so every iteration
+            # depends on the previous one — XLA cannot hoist the body out of
+            # the scan (the bench.py methodology)
+            leaves, treedef = jax.tree.flatten(args)
+            for i, leaf in enumerate(leaves):
+                if jnp.issubdtype(leaf.dtype, jnp.inexact):
+                    leaves[i] = leaf + carry.astype(leaf.dtype) * 1e-12
+                    break
+            out = fn(*jax.tree.unflatten(treedef, leaves))
+            leaf = jax.tree.leaves(out)[0]
+            return carry + leaf.ravel()[0].astype(jnp.float32) * 1e-12, ()
+
+        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    float(run(args))
+    t0 = time.perf_counter()
+    float(run(args))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from omni3d_tpu.config.cfg import StaticCfg
+    from omni3d_tpu.config.defaults import get_default_cfg
+    from omni3d_tpu.models import anchors as anchor_lib
+    from omni3d_tpu.models.rcnn3d import (FEATURE_NAMES, FEATURE_STRIDES,
+                                          CubeRCNN, inference_impl, preprocess)
+    from omni3d_tpu.models.rpn import select_proposals
+    from omni3d_tpu.models.heads import fast_rcnn_inference, scale_proposals
+    from omni3d_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas_batched
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file("configs/cubercnn_DLA34_FPN.yaml")
+    scfg = StaticCfg(cfg)
+    model = CubeRCNN(cfg=scfg, dtype=jnp.bfloat16)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    H = W = 512
+    rng = np.random.default_rng(0)
+    imgs = preprocess(
+        jnp.asarray(rng.integers(0, 255, (B, H, W, 3), dtype=np.int32)),
+        cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
+    )
+    params = model.init(jax.random.PRNGKey(0), imgs[:1])
+    Ks = jnp.tile(jnp.asarray([[[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]]]), (B, 1, 1))
+    ratios = jnp.ones(B)
+    C = scfg.MODEL.ROI_HEADS.NUM_CLASSES
+
+    print(f"B={B} backend={jax.default_backend()}", file=sys.stderr)
+
+    full = timed(lambda params, imgs: inference_impl(params, model, imgs, Ks, ratios),
+                 (params, imgs))
+    print(f"full step          : {full*1e3:8.2f} ms  ({B/full:7.1f} img/s)", flush=True)
+
+    feats_fn = lambda params, imgs: model.apply(params, imgs, method=CubeRCNN.features)
+    t = timed(feats_fn, (params, imgs))
+    print(f"backbone+FPN       : {t*1e3:8.2f} ms", flush=True)
+    feats = jax.jit(feats_fn)(params, imgs)
+    flist = [feats[f] for f in FEATURE_NAMES]
+
+    rpn_fn = lambda params, flist: model.apply(params, flist, method=CubeRCNN.rpn)
+    t = timed(rpn_fn, (params, flist))
+    print(f"RPN head convs     : {t*1e3:8.2f} ms", flush=True)
+    logits, deltas = jax.jit(rpn_fn)(params, flist)
+
+    anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
+        [(f.shape[1], f.shape[2]) for f in flist], FEATURE_STRIDES,
+        scfg.MODEL.ANCHOR_GENERATOR.SIZES, scfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
+        scfg.MODEL.ANCHOR_GENERATOR.OFFSET)]
+    image_hw = jnp.asarray([H, W], jnp.float32)
+
+    def props_fn(logits, deltas):
+        def per_image(args):
+            lg, dl = args
+            return select_proposals(anchors, lg, dl, image_hw, 1000, 1000, 0.7)
+        return jax.vmap(per_image)((
+            [l.astype(jnp.float32) for l in logits],
+            [d.astype(jnp.float32) for d in deltas]))
+
+    t = timed(props_fn, (logits, deltas))
+    print(f"proposal select/NMS: {t*1e3:8.2f} ms", flush=True)
+    prop_boxes, prop_scores, prop_valid = jax.jit(props_fn)(logits, deltas)
+
+    pool_fn = lambda flist, prop_boxes: multilevel_roi_align_pallas_batched(
+        flist, prop_boxes, list(FEATURE_STRIDES), 7, 2)
+    t = timed(pool_fn, (flist, prop_boxes))
+    print(f"box pooler (1000)  : {t*1e3:8.2f} ms", flush=True)
+    pooled = jax.jit(pool_fn)(flist, prop_boxes)
+
+    box_fn = lambda params, pooled: model.apply(
+        params, pooled.reshape(B * 1000, *pooled.shape[2:]), method=CubeRCNN.box_branch)
+    t = timed(box_fn, (params, pooled))
+    print(f"box head FCs       : {t*1e3:8.2f} ms", flush=True)
+    scores2d, deltas2d = jax.jit(box_fn)(params, pooled)
+    scores2d = scores2d.reshape(B, 1000, C + 1).astype(jnp.float32)
+    deltas2d = deltas2d.reshape(B, 1000, C * 4).astype(jnp.float32)
+
+    def dets_fn(scores2d, deltas2d, prop_boxes, prop_valid):
+        return jax.vmap(lambda s, d, b, v: fast_rcnn_inference(
+            s, d, b, v, image_hw, C, 0.01, 0.5, 100, 1024,
+            tuple(scfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        ))(scores2d, deltas2d, prop_boxes, prop_valid)
+
+    t = timed(dets_fn, (scores2d, deltas2d, prop_boxes, prop_valid))
+    print(f"per-class NMS      : {t*1e3:8.2f} ms", flush=True)
+    dets = jax.jit(dets_fn)(scores2d, deltas2d, prop_boxes, prop_valid)
+
+    cube_boxes = scale_proposals(dets["boxes"], scfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
+    poolc_fn = lambda flist, cube_boxes: multilevel_roi_align_pallas_batched(
+        flist, cube_boxes, list(FEATURE_STRIDES), 7, 2)
+    t = timed(poolc_fn, (flist, cube_boxes))
+    print(f"cube pooler (100)  : {t*1e3:8.2f} ms", flush=True)
+    pooled_cube = jax.jit(poolc_fn)(flist, cube_boxes)
+
+    cube_fn = lambda params, pooled_cube: model.apply(
+        params, pooled_cube.reshape(B * 100, *pooled_cube.shape[2:]),
+        method=CubeRCNN.cube_branch)
+    t = timed(cube_fn, (params, pooled_cube))
+    print(f"cube head          : {t*1e3:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
