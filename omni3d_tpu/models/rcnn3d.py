@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.roi_align import multilevel_roi_align
-from ..ops.roi_align_pallas import multilevel_roi_align_pallas_batched
+from ..ops.roi_align_pallas import (multilevel_roi_align_pallas_batched,
+                                    stage_pyramid)
 from ..utils import boxes as box_ops
 from . import anchors as anchor_lib
 from .dla import DLA, dla_out_channels
@@ -194,7 +195,8 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
         prop_valid = o_valid
         return _cube_branch_outputs(params, model, flist, dets, Ks,
                                     im_scales_ratio, sampling_ratio,
-                                    prop_boxes, prop_valid)
+                                    prop_boxes, prop_valid,
+                                    staged=stage_pyramid(flist))
 
     logits, deltas = model.apply(params, flist, method=CubeRCNN.rpn)
 
@@ -220,11 +222,14 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
     )
 
     # ---- box branch ----
+    staged = stage_pyramid(flist)  # shared with the cube pooler
+
     def pool_box(feats_b, boxes_b):
         # batched pallas kernel (do not vmap it: it drives its own grid)
         return multilevel_roi_align_pallas_batched(
             feats_b, boxes_b, list(FEATURE_STRIDES),
             cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION, sampling_ratio,
+            out_dtype=feats_b[0].dtype, staged=staged,
         )
 
     pooled = pool_box(flist, prop_boxes)
@@ -243,11 +248,12 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
     )(scores2d, deltas2d, prop_boxes, prop_valid)
 
     return _cube_branch_outputs(params, model, flist, dets, Ks, im_scales_ratio,
-                                sampling_ratio, prop_boxes, prop_valid)
+                                sampling_ratio, prop_boxes, prop_valid,
+                                staged=staged)
 
 
 def _cube_branch_outputs(params, model, flist, dets, Ks, im_scales_ratio,
-                         sampling_ratio, prop_boxes, prop_valid):
+                         sampling_ratio, prop_boxes, prop_valid, staged=None):
     """Cube branch + output packing shared by normal and oracle inference."""
     cfg = model.cfg
     det_boxes = dets["boxes"]  # (B, K, 4) network-res
@@ -256,6 +262,7 @@ def _cube_branch_outputs(params, model, flist, dets, Ks, im_scales_ratio,
     pooled_cube = multilevel_roi_align_pallas_batched(
         flist, cube_boxes, list(FEATURE_STRIDES),
         cfg.MODEL.ROI_CUBE_HEAD.POOLER_RESOLUTION, sampling_ratio,
+        out_dtype=flist[0].dtype, staged=staged,
     )
     cube_out = model.apply(
         params, pooled_cube.reshape(B * topk, *pooled_cube.shape[2:]),

@@ -19,6 +19,23 @@ followed by SxS average pooling to the 7x7 output. Sub-patch DMAs are
 double-buffered across the sequential grid so copy overlaps compute. HBM
 traffic: ~2 contiguous patches/RoI instead of ~784 scattered rows.
 
+MXU packing: a per-box (P, PATCH) x (PATCH, PATCH_X*C) matmul runs at ~5%
+MXU utilization (M=7, K=32 both pad to the 128x128 systolic tile). The
+y-contraction of all K boxes in a grid step is therefore fused into ONE
+block-diagonal matmul — lhs (K*8, K*PATCH) with box k's (P, PATCH) weight
+block on the diagonal, rhs the K patches stacked along the contraction dim —
+filling the full 128-deep contraction. The q=1 (split) matmul is predicated
+on any box in the step actually needing it. The x-contraction stays per-box
+but contracts a 2-strip (q0|q1) buffer in one dot. Net: ~34 MXU tiles per
+box instead of ~160.
+
+Layout: the pyramid is staged in HBM as 2D (rows, W*C) so a patch DMA lands
+directly in the (PATCH, PATCH_X*C) operand layout of the y-matmul — the
+(PATCH_X, C) -> PATCH_X*C lane merge would otherwise be a full VMEM relayout
+per sub-patch (sublane<->lane traffic comparable to the matmul itself). A
+2D source slice [y:y+PATCH, x*C:(x*C + PATCH_X*C)] is x-contiguous, so x
+origins need no sublane alignment and the x window shrinks to PATCH cells.
+
 Covers boxes up to ~62 cells on the long axis at their assigned level
 (aspect ~4.8 at the FPN envelope); rarer, longer boxes lose their outermost
 taps (treated as out-of-bounds zeros, like the boundary rule).
@@ -29,6 +46,8 @@ test oracle.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,8 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .roi_align import _sample_coords_1d, assign_fpn_levels
 
 PATCH = 32      # y window (free DMA offset alignment)
-PATCH_X = 40    # x window: origins must be 8-aligned (Mosaic sublane tiling),
-                # so cover the worst 7-cell alignment slack
+PATCH_X = 32    # x window: origins are lane offsets in the 2D (rows, W*C)
+                # pyramid staging, so no alignment slack is needed
 
 
 def _taps(pos, limit):
@@ -81,8 +100,17 @@ def _axis_weights(pos, limit, origins, patch):
     return place(lo, w_lo) + place(hi, w_hi)
 
 
+def _last_tap(pos, limit):
+    lim = jnp.maximum(limit.astype(jnp.int32), 1)
+    return jnp.minimum(
+        jnp.floor(jnp.clip(pos[:, -1], 0.0, None)).astype(jnp.int32) + 1,
+        lim - 1,
+    )
+
+
 def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
-    """Per-box plan: level, 2 sub-patch origins (y/x), weights (2, PS, PATCH)."""
+    """Per-box plan: level, 2 sub-patch origins (y rows / x cells), y phase,
+    weights (2, P*S, PATCH)."""
     n_levels = len(strides)
     lvl = assign_fpn_levels(boxes, min_level, min_level + n_levels - 1) - min_level
     # coverage bump: extremely elongated boxes (aspect beyond ~4.8 at the FPN
@@ -97,10 +125,6 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl]
     Hs = jnp.asarray([s[0] for s in level_shapes], jnp.float32)[lvl]
     Ws = jnp.asarray([s[1] for s in level_shapes], jnp.float32)[lvl]
-    Hpad = jnp.asarray([max(s[0], PATCH) for s in level_shapes], jnp.int32)[lvl]
-    Wpad = jnp.asarray(
-        [max(-(-s[1] // 8) * 8, PATCH_X) for s in level_shapes], jnp.int32
-    )[lvl]
 
     b = boxes * scales[:, None] - 0.5
     ys = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, out_size, sampling_ratio))(
@@ -112,29 +136,36 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
 
     split_x = (b[:, 2] - b[:, 0]) >= (b[:, 3] - b[:, 1])
 
-    def origins(pos, limit, pad_limit, split, patch, align):
-        t0 = jnp.clip(jnp.floor(jnp.clip(pos[:, 0], 0.0, None)).astype(jnp.int32),
-                      0, jnp.maximum(limit.astype(jnp.int32) - 1, 0))
-        t0 = (t0 // align) * align
-        o0 = jnp.clip(t0, 0, pad_limit - patch)
-        # split only when the box's taps actually overflow the first window —
-        # boxes at their canonical FPN level (extent <= ~29 cells + alignment
-        # slack) always fit, so the second 655KB patch DMA is skipped for the
-        # vast majority of RoIs (the kernel tests oy0!=oy1 | ox0!=ox1)
-        lim = jnp.maximum(limit.astype(jnp.int32), 1)
-        t_last = jnp.minimum(
-            jnp.floor(jnp.clip(pos[:, -1], 0.0, None)).astype(jnp.int32) + 1,
-            lim - 1,
-        )
-        overflow = t_last >= o0 + patch
-        o1 = jnp.where(split & overflow,
-                       jnp.clip(o0 + patch, 0, pad_limit - patch), o0)
-        return jnp.stack([o0, o1], axis=1)  # (N, 2)
+    # --- y origins: rows of the 2D staging are sublane-tiled, so DMA row
+    # offsets must be 8-aligned. The staging holds TWO phase copies of the
+    # pyramid (rows 0.. and rows 4..), so rounding t0 down to its nearest
+    # phase leaves <= 3 rows of slack — extent (<28) + 2 boundary taps + 3
+    # slack still fits the 32-row window. `oy` is the level-local aligned
+    # row in the chosen copy; `oy_cells` feeds the weight builder.
+    t0y = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, None)).astype(jnp.int32),
+                   0, jnp.maximum(Hs.astype(jnp.int32) - 1, 0))
+    r8 = t0y % 8
+    phase_y = (r8 >= 4).astype(jnp.int32)
+    oy0_cells = t0y - r8 + 4 * phase_y
+    oy0_mem = t0y - r8
+    overflow_y = _last_tap(ys, Hs) >= oy0_cells + PATCH
+    split_y = (~split_x) & overflow_y
+    oy_cells = jnp.stack([oy0_cells, oy0_cells + split_y * PATCH], axis=1)
+    oy_mem = jnp.stack([oy0_mem, oy0_mem + split_y * PATCH], axis=1)
 
-    oy = origins(ys, Hs, Hpad, ~split_x, PATCH, 1)
-    ox = origins(xs, Ws, Wpad, split_x, PATCH_X, 8)
+    # --- x origins: lane offsets in the 2D staging, no alignment needed;
+    # clip to the staging width (reads past a level's true width hit padding
+    # or neighbor cells whose tap weights are zero)
+    Wmax = max(max(s[1] for s in level_shapes), PATCH_X)
+    t0x = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)).astype(jnp.int32),
+                   0, jnp.maximum(Ws.astype(jnp.int32) - 1, 0))
+    ox0 = jnp.clip(t0x, 0, Wmax - PATCH_X)
+    overflow_x = _last_tap(xs, Ws) >= ox0 + PATCH_X
+    sx = split_x & overflow_x
+    ox1 = jnp.where(sx, jnp.clip(ox0 + PATCH_X, 0, Wmax - PATCH_X), ox0)
+    ox = jnp.stack([ox0, ox1], axis=1)
 
-    wy = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(ys, Hs, oy, PATCH)
+    wy = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(ys, Hs, oy_cells, PATCH)
     wx = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(xs, Ws, ox, PATCH_X)
 
     # unsplit axis: both quadrants share the origin; q-ownership in
@@ -146,7 +177,8 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
     wx_full = wx.sum(axis=1, keepdims=True)
     wy = jnp.where(split_x[:, None, None, None], jnp.tile(wy_full, (1, 2, 1, 1)), wy)
     wx = jnp.where(split_x[:, None, None, None], wx, jnp.tile(wx_full, (1, 2, 1, 1)))
-    return lvl.astype(jnp.int32), oy.astype(jnp.int32), ox.astype(jnp.int32), wy, wx
+    return (lvl.astype(jnp.int32), oy_mem.astype(jnp.int32),
+            phase_y.astype(jnp.int32), ox.astype(jnp.int32), wy, wx)
 
 
 def multilevel_roi_align_pallas(features, boxes, strides, out_size: int = 7,
@@ -159,17 +191,56 @@ def multilevel_roi_align_pallas(features, boxes, strides, out_size: int = 7,
     )[0]
 
 
+def stage_pyramid(features):
+    """Stack every level of every image into ONE 2D (rows, Wmax*C) buffer so
+    the kernel needs a single unconditional DMA per sub-patch (dynamic row
+    offset) instead of per-level predicated branches, and so each patch
+    arrives in the y-matmul's (PATCH, PATCH_X*C) operand layout (see module
+    docstring). Two phase copies (rows 0.., rows 4..) keep the y-DMA slack
+    under the 8-row tile alignment; 64 tail rows absorb window overreads
+    (their tap weights are zero). ~3x padded memory on the pyramid.
+
+    Callers pooling the same pyramid more than once per step (box + cube
+    pooler) should stage once and pass the result via `staged=`.
+
+    Returns (flat, row_off int32 (L,), rows_per_img, total_rows).
+    """
+    C = features[0].shape[-1]
+    Wmax = max(max(f.shape[2] for f in features), PATCH_X)
+    feats = []
+    row_off, off = [], 0
+    for f in features:
+        ph = -(-f.shape[1] // 8) * 8 - f.shape[1]
+        f = jnp.pad(f, ((0, 0), (0, ph), (0, Wmax - f.shape[2]), (0, 0)))
+        row_off.append(off)
+        off += f.shape[1]
+        feats.append(f)
+    rows_per_img = off
+    base = jnp.concatenate(feats, axis=1).reshape(-1, Wmax * C)  # (B*rows, Wmax*C)
+    total_rows = base.shape[0]
+    shifted = jnp.pad(base[4:], ((0, 4), (0, 0)))
+    flat = jnp.concatenate(
+        [base, shifted, jnp.zeros((2 * PATCH, Wmax * C), base.dtype)], axis=0
+    )
+    return flat, np.asarray(row_off, np.int32), rows_per_img, total_rows
+
+
 def multilevel_roi_align_pallas_batched(features, boxes, strides,
                                         out_size: int = 7,
                                         sampling_ratio: int = 2,
                                         min_level: int = 2,
-                                        interpret: bool | None = None):
+                                        interpret: bool | None = None,
+                                        out_dtype=None,
+                                        staged=None):
     """Batched pallas ROIAlign over an FPN pyramid.
 
     NOTE: do NOT jax.vmap the single-image version — the kernel drives its own
     sequential grid and DMA pipeline, so batching is handled natively here via
     a per-box image index. features: list of (B, H_l, W_l, C); boxes
-    (B, N, 4). Returns (B, N, out_size, out_size, C) float32.
+    (B, N, 4). Returns (B, N, out_size, out_size, C) in `out_dtype`
+    (default float32; pass the feature dtype to halve the output-store
+    traffic when the consumer casts anyway). `staged` takes a previous
+    `stage_pyramid(features)` result to share the staging between calls.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -178,7 +249,7 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     P, S = out_size, sampling_ratio
     level_shapes = [f.shape[1:3] for f in features]
 
-    lvl, oy, ox, wy, wx = jax.vmap(
+    lvl, oy, phase_y, ox, wy, wx = jax.vmap(
         lambda bx: _plan(bx, strides, level_shapes, P, S, min_level)
     )(boxes)
     img = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
@@ -187,6 +258,7 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     NB = B * N
     img = img.reshape(NB)
     lvl = lvl.reshape(NB)
+    phase_y = phase_y.reshape(NB)
     oy, ox = oy.reshape(-1), ox.reshape(-1)  # (2*NB,) interleaved per box
     wy = wy.reshape(NB, 2, P * S, PATCH)
     wx = wx.reshape(NB, 2, P * S, PATCH_X)
@@ -197,28 +269,16 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     wx = wx.reshape(NB, 2, P, S, PATCH_X).mean(axis=3)
     N = NB
 
-    # Stack every level of every image into ONE (rows, Wmax, C) buffer so the
-    # kernel needs a single unconditional DMA per sub-patch (dynamic row
-    # offset) instead of per-level predicated branches. ~1.5x padded memory;
-    # removes 5x2xK @pl.when blocks of control overhead per grid step.
-    Wmax = max(max(-(-f.shape[2] // 8) * 8, PATCH_X) for f in features)
-    feats = []
-    row_off, off = [], 0
-    for f in features:
-        ph = max(PATCH - f.shape[1], 0)
-        f = jnp.pad(f, ((0, 0), (0, ph), (0, Wmax - f.shape[2]), (0, 0)))
-        row_off.append(off)
-        off += f.shape[1]
-        feats.append(f)
-    rows_per_img = off
-    flat = jnp.concatenate(feats, axis=1).reshape(-1, Wmax, C)  # (B*rows, Wmax, C)
+    flat, row_off, rows_per_img, total_rows = staged or stage_pyramid(features)
     dtype = flat.dtype
-    row_off = np.asarray(row_off, np.int32)
 
-    # per-box absolute row origin: img * rows_per_img + level offset + y0
+    # per-box absolute row origin: phase section + img block + level offset
     oy = (oy.reshape(NB, 2)
-          + img[:, None] * rows_per_img
-          + jnp.asarray(row_off)[lvl][:, None]).reshape(-1)
+          + (img[:, None] * rows_per_img
+             + jnp.asarray(row_off)[lvl][:, None]
+             + phase_y[:, None] * total_rows)).reshape(-1)
+    # x origins become lane offsets in the 2D staging (cell * C)
+    ox = ox * C
 
     # K boxes per grid step to amortize per-step control overhead; bounded by
     # VMEM (patch scratch = 2 slots * K * 2 sub-patches * PATCH*PATCH_X*C)
@@ -233,12 +293,38 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     Np = N + pad_n
     n_steps = Np // K
 
+    # round the per-box output rows up to the f32 sublane tile so box k's
+    # strip of the block-diagonal result starts 8-aligned
+    P8 = -(-P // 8) * 8
+    # q1 strip origin in the 2-strip y-buffer: 16-aligned for bf16 stores
+    XPAD = -(-PATCH_X // 16) * 16
+    XW = XPAD + PATCH_X  # y-buffer width (q0 strip | q1 strip)
+
+    # block-diagonal y-contraction weights, one (K*P8, K*PATCH) lhs per grid
+    # step and q: box k's (P, PATCH) block sits at rows k*P8, cols k*PATCH
+    wy_pad = jnp.pad(wy, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))  # (Np,2,P8,PATCH)
+    wy_g = wy_pad.reshape(n_steps, K, 2, P8, PATCH)
+    eye = jnp.eye(K, dtype=wy.dtype)
+    bd = jnp.einsum("skqpc,kj->sqkpjc", wy_g, eye).reshape(
+        n_steps, 2, K * P8, K * PATCH
+    )
+    # 2-strip x weights: [wx_q0 | 0pad | wx_q1]
+    wx_cat = jnp.zeros((Np, P, XW), wx.dtype)
+    wx_cat = wx_cat.at[:, :, :PATCH_X].set(wx[:, 0])
+    wx_cat = wx_cat.at[:, :, XPAD:XPAD + PATCH_X].set(wx[:, 1])
+
+    if jnp.dtype(dtype).itemsize <= 2:
+        bd = bd.astype(dtype)
+        wx_cat = wx_cat.astype(dtype)
+
     def kernel(*args):
         oy_ref, ox_ref = args[:2]
         flat_ref = args[2]
-        wy_ref, wx_ref, out_ref, patch_buf, sems = args[3:]
+        bd_ref, wx_ref, out_ref, patch_buf, ybuf, sem_q0, sem_q1 = args[3:]
         i = pl.program_id(0)
         num = pl.num_programs(0)
+        prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
 
         def needs_q1(box):
             return (oy_ref[2 * box] != oy_ref[2 * box + 1]) | (
@@ -250,22 +336,39 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                 box = step * K + k
                 q1 = needs_q1(box)
                 for q in range(2):
-                    yy = oy_ref[2 * box + q]  # absolute row (img+level folded)
-                    # origins are 8-aligned in _plan; Mosaic needs the proof
-                    xx = pl.multiple_of(ox_ref[2 * box + q], 8)
+                    # absolute row (phase+img+level folded), 8-aligned by the
+                    # phase-copy construction
+                    yy = pl.multiple_of(oy_ref[2 * box + q], 8)
+                    # lane offset (cell * C), C-aligned by construction
+                    xx = pl.multiple_of(ox_ref[2 * box + q], math.gcd(C, 128))
+                    src = flat_ref.at[pl.ds(yy, PATCH), pl.ds(xx, PATCH_X * C)]
 
-                    # compact boxes skip the split sub-patch (its
-                    # contribution is masked to zero in the compute)
-                    @pl.when((q == 0) | q1)
-                    def _():
+                    if q == 0:
+                        # all K q0 copies share one byte-counting semaphore;
+                        # the compute side waits once for all of them
                         pltpu.make_async_copy(
-                            flat_ref.at[pl.ds(yy, PATCH), pl.ds(xx, PATCH_X), :],
-                            patch_buf.at[slot, k, q],
-                            sems.at[slot, k, q],
+                            src, patch_buf.at[slot, 0, k], sem_q0.at[slot]
                         ).start()
+                    else:
+                        # compact boxes skip the split sub-patch (its block
+                        # in bd/wx_cat is zero; the scratch holds finite
+                        # values)
+                        @pl.when(q1)
+                        def _():
+                            pltpu.make_async_copy(
+                                src, patch_buf.at[slot, 1, k],
+                                sem_q1.at[slot, k],
+                            ).start()
 
         @pl.when(i == 0)
         def _():
+            # zero both slots once: skipped q1 DMAs leave their patch slot
+            # untouched, and 0-weight x finite stale data is 0, but
+            # uninitialized VMEM can hold NaN/Inf bit patterns (0*NaN=NaN —
+            # the intermittent-NaN bug of record); ybuf's strip-alignment gap
+            # (cols PATCH_X..XPAD) is never written afterwards
+            patch_buf[...] = jnp.zeros_like(patch_buf)
+            ybuf[...] = jnp.zeros_like(ybuf)
             start_dma(0, 0)
 
         slot = jax.lax.rem(i, 2)
@@ -275,67 +378,86 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         def _():
             start_dma(i + 1, next_slot)
 
-        for k in range(K):
-            box = i * K + k
-            q1_here = needs_q1(box)
-            for q in range(2):
-                @pl.when((q == 0) | q1_here)
-                def _():
-                    pltpu.make_async_copy(
-                        flat_ref.at[pl.ds(0, PATCH), pl.ds(0, PATCH_X), :],
-                        patch_buf.at[slot, k, q],
-                        sems.at[slot, k, q],
-                    ).wait()
+        any_q1 = needs_q1(i * K)
+        for k in range(1, K):
+            any_q1 = any_q1 | needs_q1(i * K + k)
 
-            acc = jnp.zeros((P, P, C), jnp.float32)
-            for q in range(2):
-                pt = patch_buf[slot, k, q]  # (PATCH, PATCH_X, C)
-                wy_b = wy_ref[k, q].astype(pt.dtype)  # (P, PATCH)
-                wx_b = wx_ref[k, q].astype(pt.dtype)  # (P, PATCH_X)
-                prec = (jax.lax.Precision.HIGHEST if pt.dtype == jnp.float32
-                        else jax.lax.Precision.DEFAULT)
-                a = jax.lax.dot_general(
-                    wy_b, pt.reshape(PATCH, PATCH_X * C),
-                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                    precision=prec,
-                ).astype(pt.dtype).reshape(P, PATCH_X, C)
-                b = jax.lax.dot_general(
-                    wx_b, a, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )  # (P_x, P_y, C)
-                contrib = jnp.transpose(b, (1, 0, 2))
-                if q == 1:
-                    # skipped sub-patches read stale scratch: even with zero
-                    # weights, 0 * NaN/Inf garbage = NaN — mask, don't rely
-                    # on the weights (the intermittent-NaN bug of record)
-                    contrib = jnp.where(q1_here, contrib, 0.0)
-                acc = acc + contrib
-            out_ref[k] = acc
+        # one merged wait for the K q0 patches (the wait amount is the byte
+        # size of the ref, so a (K, PATCH, PATCH_X*C)-shaped wait object
+        # consumes all K completions on the shared semaphore)
+        pltpu.make_async_copy(
+            patch_buf.at[slot, 0], patch_buf.at[slot, 0], sem_q0.at[slot]
+        ).wait()
+        for k in range(K):
+            q1_here = needs_q1(i * K + k)
+
+            @pl.when(q1_here)
+            def _():
+                pltpu.make_async_copy(
+                    flat_ref.at[pl.ds(0, PATCH), pl.ds(0, PATCH_X * C)],
+                    patch_buf.at[slot, 1, k],
+                    sem_q1.at[slot, k],
+                ).wait()
+
+        # fused y-contraction: (K*P8, K*PATCH) @ (K*PATCH, PATCH_X*C); the
+        # (K, PATCH) -> K*PATCH sublane merge is layout-free (PATCH is a
+        # whole number of sublane tiles)
+        def y_pass(q):
+            pt = patch_buf[slot, q].reshape(K * PATCH, PATCH_X * C)
+            y = jax.lax.dot_general(
+                bd_ref[0, q], pt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dtype)
+            return y.reshape(K * P8, PATCH_X, C)
+
+        ybuf[:, :PATCH_X, :] = y_pass(0)
+
+        @pl.when(any_q1)
+        def _():
+            ybuf[:, XPAD:, :] = y_pass(1)
+
+        @pl.when(jnp.logical_not(any_q1))
+        def _():
+            # stale strip-1 rows would meet nonzero wx halves of y-split
+            # boxes from other steps; keep the strip zero when unused
+            ybuf[:, XPAD:, :] = jnp.zeros((K * P8, PATCH_X, C), dtype)
+
+        # x-contraction for all K boxes in ONE batched dot — per-dot issue
+        # overhead on the scalar core is comparable to the dot itself at
+        # these shapes (measured ~0.56us per (P,XW)x(P,XW,C) issue)
+        a = ybuf[...].reshape(K, P8, XW, C)[:, :P]  # (K, P, XW, C)
+        b = jax.lax.dot_general(
+            wx_ref[...], a, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (K, P_x, P_y, C)
+        out_ref[...] = jnp.transpose(b, (0, 2, 1, 3)).astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((K, 2, P, PATCH), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, 2, K * P8, K * PATCH), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 2, P, PATCH_X), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((K, P, XW), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((K, P, P, C), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, K, 2, PATCH, PATCH_X, C), dtype),
-            pltpu.SemaphoreType.DMA((2, K, 2)),
+            pltpu.VMEM((2, 2, K, PATCH, PATCH_X * C), dtype),
+            pltpu.VMEM((K * P8, XW, C), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, K)),
         ],
     )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Np, P, P, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Np, P, P, C), out_dtype or jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oy, ox, flat, wy, wx)
+    )(oy, ox, flat, bd, wx_cat)
     return out[:N].reshape(B, N // B, P, P, C)
 
 

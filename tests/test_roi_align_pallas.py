@@ -75,7 +75,7 @@ class TestPallasVsOracle:
         boxes = jnp.asarray(np.concatenate([xy, xy + side * rng.uniform(0.8, 1.25, (64, 1)), ], -1))
         boxes = jnp.concatenate([boxes[:, :2], boxes[:, :2] + side], -1)
         level_shapes = [(256 // s, 256 // s) for s in STRIDES]
-        lvl, oy, ox, wy, wx = _plan(boxes, STRIDES, level_shapes, 7, 2, 2)
+        lvl, oy, phase_y, ox, wy, wx = _plan(boxes, STRIDES, level_shapes, 7, 2, 2)
         assert bool(jnp.all(oy[:, 0] == oy[:, 1]))
         assert bool(jnp.all(ox[:, 0] == ox[:, 1]))
 

@@ -1,0 +1,51 @@
+"""Pooler-only TPU microbenchmark (carry-dependent scan, tunnel-amortized)."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from omni3d_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas_batched
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    C = 256
+    STRIDES = [4, 8, 16, 32, 64]
+    rng = np.random.default_rng(0)
+    feats = [
+        jnp.asarray(rng.standard_normal((B, 512 // s, 512 // s, C)).astype(np.float32),
+                    jnp.bfloat16)
+        for s in STRIDES
+    ]
+    xy = rng.uniform(0, 400, (B, N, 2)).astype(np.float32)
+    wh = rng.uniform(8, 100, (B, N, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, np.minimum(xy + wh, 511)], -1))
+
+    n = 10
+
+    @jax.jit
+    def run(feats, boxes):
+        def body(carry, _):
+            f0 = [feats[0] + carry.astype(feats[0].dtype) * 1e-12] + feats[1:]
+            out = multilevel_roi_align_pallas_batched(f0, boxes, STRIDES, 7, 2)
+            return carry + out.ravel()[0] * 1e-12, ()
+
+        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    float(run(feats, boxes))
+    t0 = time.perf_counter()
+    float(run(feats, boxes))
+    dt = (time.perf_counter() - t0) / n
+    print(f"pooler B={B} N={N}: {dt*1e3:.2f} ms/call ({B*N/dt/1e6:.2f} Mboxes/s)")
+
+
+if __name__ == "__main__":
+    main()
