@@ -276,9 +276,15 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     oy = (oy.reshape(NB, 2)
           + (img[:, None] * rows_per_img
              + jnp.asarray(row_off)[lvl][:, None]
-             + phase_y[:, None] * total_rows)).reshape(-1)
-    # x origins become lane offsets in the 2D staging (cell * C)
-    ox = ox * C
+             + phase_y[:, None] * total_rows))
+    # pack (row, x-cell) into one int32 per (box, q): rows in bits [0,18),
+    # x cell in [18,31). One scalar read replaces two, and sub-patch
+    # equality (the q1 test) becomes word equality.
+    n_flat_rows = 2 * (rows_per_img * B) + 2 * PATCH
+    assert n_flat_rows < (1 << 18), n_flat_rows
+    Wmax_cells = flat.shape[1] // C
+    assert Wmax_cells <= (1 << 13), Wmax_cells
+    pk = (oy + (ox.reshape(NB, 2) << 18)).reshape(-1)
 
     # K boxes per grid step to amortize per-step control overhead; bounded by
     # VMEM (patch scratch = 2 slots * K * 2 sub-patches * PATCH*PATCH_X*C)
@@ -286,8 +292,7 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     pad_n = (-N) % K
     if pad_n:
         lvl = jnp.pad(lvl, (0, pad_n))
-        oy = jnp.pad(oy, (0, 2 * pad_n))
-        ox = jnp.pad(ox, (0, 2 * pad_n))
+        pk = jnp.pad(pk, (0, 2 * pad_n))
         wy = jnp.pad(wy, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
     Np = N + pad_n
@@ -318,47 +323,45 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         wx_cat = wx_cat.astype(dtype)
 
     def kernel(*args):
-        oy_ref, ox_ref = args[:2]
-        flat_ref = args[2]
-        bd_ref, wx_ref, out_ref, patch_buf, ybuf, sem_q0, sem_q1 = args[3:]
+        pk_ref = args[0]
+        flat_ref = args[1]
+        bd_ref, wx_ref, out_ref, patch_buf, ybuf, sem_q0, sem_q1 = args[2:]
         i = pl.program_id(0)
         num = pl.num_programs(0)
         prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
 
-        def needs_q1(box):
-            return (oy_ref[2 * box] != oy_ref[2 * box + 1]) | (
-                ox_ref[2 * box] != ox_ref[2 * box + 1]
-            )
+        def unpack(w):
+            # row (phase+img+level folded) 8-aligned by construction; x lane
+            # offset is cell * C
+            yy = pl.multiple_of(w & ((1 << 18) - 1), 8)
+            xx = pl.multiple_of((w >> 18) * C, math.gcd(C, 128))
+            return yy, xx
 
         def start_dma(step, slot):
             for k in range(K):
                 box = step * K + k
-                q1 = needs_q1(box)
-                for q in range(2):
-                    # absolute row (phase+img+level folded), 8-aligned by the
-                    # phase-copy construction
-                    yy = pl.multiple_of(oy_ref[2 * box + q], 8)
-                    # lane offset (cell * C), C-aligned by construction
-                    xx = pl.multiple_of(ox_ref[2 * box + q], math.gcd(C, 128))
-                    src = flat_ref.at[pl.ds(yy, PATCH), pl.ds(xx, PATCH_X * C)]
+                w0 = pk_ref[2 * box]
+                w1 = pk_ref[2 * box + 1]
 
-                    if q == 0:
-                        # all K q0 copies share one byte-counting semaphore;
-                        # the compute side waits once for all of them
-                        pltpu.make_async_copy(
-                            src, patch_buf.at[slot, 0, k], sem_q0.at[slot]
-                        ).start()
-                    else:
-                        # compact boxes skip the split sub-patch (its block
-                        # in bd/wx_cat is zero; the scratch holds finite
-                        # values)
-                        @pl.when(q1)
-                        def _():
-                            pltpu.make_async_copy(
-                                src, patch_buf.at[slot, 1, k],
-                                sem_q1.at[slot, k],
-                            ).start()
+                yy, xx = unpack(w0)
+                # all K q0 copies share one byte-counting semaphore; the
+                # compute side waits once for all of them
+                pltpu.make_async_copy(
+                    flat_ref.at[pl.ds(yy, PATCH), pl.ds(xx, PATCH_X * C)],
+                    patch_buf.at[slot, 0, k], sem_q0.at[slot]
+                ).start()
+
+                # compact boxes skip the split sub-patch (its block in
+                # bd/wx_cat is zero; the scratch holds finite values)
+                @pl.when(w0 != w1)
+                def _():
+                    yy1, xx1 = unpack(w1)
+                    pltpu.make_async_copy(
+                        flat_ref.at[pl.ds(yy1, PATCH), pl.ds(xx1, PATCH_X * C)],
+                        patch_buf.at[slot, 1, k],
+                        sem_q1.at[slot, k],
+                    ).start()
 
         @pl.when(i == 0)
         def _():
@@ -378,9 +381,11 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         def _():
             start_dma(i + 1, next_slot)
 
-        any_q1 = needs_q1(i * K)
+        q1_here = [pk_ref[2 * (i * K + k)] != pk_ref[2 * (i * K + k) + 1]
+                   for k in range(K)]
+        any_q1 = q1_here[0]
         for k in range(1, K):
-            any_q1 = any_q1 | needs_q1(i * K + k)
+            any_q1 = any_q1 | q1_here[k]
 
         # one merged wait for the K q0 patches (the wait amount is the byte
         # size of the ref, so a (K, PATCH, PATCH_X*C)-shaped wait object
@@ -389,9 +394,7 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
             patch_buf.at[slot, 0], patch_buf.at[slot, 0], sem_q0.at[slot]
         ).wait()
         for k in range(K):
-            q1_here = needs_q1(i * K + k)
-
-            @pl.when(q1_here)
+            @pl.when(q1_here[k])
             def _():
                 pltpu.make_async_copy(
                     flat_ref.at[pl.ds(0, PATCH), pl.ds(0, PATCH_X * C)],
@@ -433,7 +436,7 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         out_ref[...] = jnp.transpose(b, (0, 2, 1, 3)).astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -457,7 +460,7 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         out_shape=jax.ShapeDtypeStruct((Np, P, P, C), out_dtype or jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oy, ox, flat, bd, wx_cat)
+    )(pk, flat, bd, wx_cat)
     return out[:N].reshape(B, N // B, P, P, C)
 
 
