@@ -17,7 +17,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import BatchNorm, Conv, ConvBN, max_pool
+from .layers import BatchNorm, Conv, ConvBN, max_pool, max_pool_packed
 
 # variant -> (levels per stage, channels per stage, block)
 # (reference dla.py:312-415 model builders; _r = residual roots, x = grouped
@@ -38,18 +38,24 @@ DLA_SPECS = {
 
 class BasicBlock(nn.Module):
     """3x3 + 3x3 residual block; the residual is supplied by the caller
-    (DLA trees pass the projected/downsampled input)."""
+    (DLA trees pass the projected/downsampled input).
+
+    `in_packed` > 1: x arrives s2d-packed at that factor (eval-only stem
+    fast path); conv1 consumes it in packed polyphase form."""
 
     features: int
     stride: int = 1
     train: bool = False
+    in_packed: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None):
         if residual is None:
             residual = x
-        out = ConvBN(self.features, 3, self.stride, train=self.train, dtype=self.dtype, name="conv1")(x)
+        out = ConvBN(self.features, 3, self.stride, s2d=self.in_packed or 1,
+                     in_packed=bool(self.in_packed), train=self.train,
+                     dtype=self.dtype, name="conv1")(x)
         out = ConvBN(self.features, 3, 1, relu=False, train=self.train, dtype=self.dtype, name="conv2")(out)
         return nn.relu(out + residual)
 
@@ -60,10 +66,12 @@ class Bottleneck(nn.Module):
     features: int
     stride: int = 1
     train: bool = False
+    in_packed: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None):
+        assert not self.in_packed, "packed stem path is basic-block only"
         if residual is None:
             residual = x
         mid = self.features // 2
@@ -81,10 +89,12 @@ class BottleneckX(nn.Module):
     stride: int = 1
     cardinality: int = 32
     train: bool = False
+    in_packed: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None):
+        assert not self.in_packed, "packed stem path is basic-block only"
         if residual is None:
             residual = x
         mid = self.features * self.cardinality // 32
@@ -139,6 +149,7 @@ class Tree(nn.Module):
     level_root: bool = False
     root_residual: bool = False
     train: bool = False
+    in_packed: int = 0  # s2d factor of a packed input (eval stem fast path)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -146,7 +157,13 @@ class Tree(nn.Module):
         children = list(children) if children is not None else []
         Block = _BLOCKS[self.block]
 
-        bottom = max_pool(x, self.stride, self.stride) if self.stride > 1 else x
+        if self.in_packed:
+            # packed input: stride == factor, so the downsample is the max
+            # over each block's phases and leaves the packed domain
+            assert self.levels == 1 and self.stride == self.in_packed
+            bottom = max_pool_packed(x, self.in_packed, self.stride, self.stride)
+        else:
+            bottom = max_pool(x, self.stride, self.stride) if self.stride > 1 else x
         if self.in_features != self.features:
             residual = ConvBN(
                 self.features, 1, 1, padding=0, relu=False,
@@ -158,7 +175,9 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = Block(self.features, self.stride, train=self.train, dtype=self.dtype, name="tree1")(x, residual)
+            x1 = Block(self.features, self.stride, train=self.train,
+                       in_packed=self.in_packed, dtype=self.dtype,
+                       name="tree1")(x, residual)
             x2 = Block(self.features, 1, train=self.train, dtype=self.dtype, name="tree2")(x1)
             out = Root(
                 self.features, residual=self.root_residual,
@@ -194,12 +213,29 @@ class DLA(nn.Module):
         t = dict(train=self.train, dtype=self.dtype)
 
         # s2d=4: the full-resolution stem convs (C=3..16) underfill MXU
-        # lanes; evaluate them in space-to-depth form (exact, see layers.Conv)
-        x = ConvBN(channels[0], 7, 1, s2d=self.stem_s2d, **t, name="base_layer")(x)
-        x = ConvBN(channels[0], 3, 1, s2d=self.stem_s2d, **t, name="level0")(x)
-        x = ConvBN(channels[1], 3, 2, **t, name="level1")(x)
+        # lanes; evaluate them in space-to-depth form (exact, see layers.Conv).
+        # At inference the two stem convs chain in PACKED form (BN affine and
+        # relu tile per-channel onto packed channels), skipping the
+        # unpack/repack relayout between them — worth ~4 ms at bs=32/512px.
+        # At inference the whole stem chains in PACKED space-to-depth form
+        # (BN affine and relu tile per-channel onto packed channels): the
+        # stride-2 level1 conv halves the packing factor (F 4 -> 2) and
+        # level2's entry (phase max-pool + packed tree1 conv1) exits the
+        # packed domain at stride 4 — no unpack/repack relayouts between, the
+        # stem's pack transpose is the only one left. Exact arithmetic; the
+        # chain needs levels[2]==1 basic blocks (DLA-34 family).
+        packed = (not self.train) and self.stem_s2d == 4 and block == "basic" \
+            and levels[2] == 1 \
+            and x.shape[1] % self.stem_s2d == 0 and x.shape[2] % self.stem_s2d == 0
+        x = ConvBN(channels[0], 7, 1, s2d=self.stem_s2d, out_packed=packed,
+                   **t, name="base_layer")(x)
+        x = ConvBN(channels[0], 3, 1, s2d=self.stem_s2d, in_packed=packed,
+                   out_packed=packed, **t, name="level0")(x)
+        x = ConvBN(channels[1], 3, 2, s2d=self.stem_s2d if packed else 1,
+                   in_packed=packed, out_packed=packed, **t, name="level1")(x)
         l2 = Tree(levels[2], block, channels[1], channels[2], 2,
-                  root_residual=residual_root, **t, name="level2")(x)
+                  root_residual=residual_root,
+                  in_packed=2 if packed else 0, **t, name="level2")(x)
         l3 = Tree(levels[3], block, channels[2], channels[3], 2, level_root=True,
                   root_residual=residual_root, **t, name="level3")(l2)
         l4 = Tree(levels[4], block, channels[3], channels[4], 2, level_root=True,
