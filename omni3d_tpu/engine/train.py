@@ -160,6 +160,9 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
       batch["gt_valid"])
 
     # ---- box branch ----
+    import os as _os
+    _ABL_POOLBWD = bool(_os.environ.get("TRAIN_ABL_NO_POOL_GRAD"))
+
     def pool(boxes_b):
         # pallas forward + XLA-transpose backward (linear op, exact VJP)
         return multilevel_roi_align_fast(
@@ -168,6 +171,8 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
         )
 
     pooled = pool(sampled["boxes"])
+    if _ABL_POOLBWD:
+        pooled = lax.stop_gradient(pooled)
     scores2d, deltas2d = model.apply(
         variables, pooled.reshape(B * S, *pooled.shape[2:]), method=CubeRCNN.box_branch
     )
@@ -203,6 +208,8 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
         pooled_cube = pool(
             scale_proposals(fg_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
         )
+        if _ABL_POOLBWD:
+            pooled_cube = lax.stop_gradient(pooled_cube)
         cube_out = model.apply(
             variables, pooled_cube.reshape(B * F, *pooled_cube.shape[2:]),
             method=CubeRCNN.cube_branch,

@@ -32,9 +32,37 @@ from ..utils import boxes as box_ops
 NEG_INF = -1e10
 
 
+BLOCK = 256
+
+
+def _fixpoint_keep(sup, valid):
+    """Greedy keep set on a (n, n) strict-upper suppression matrix via the
+    antitone fixpoint iteration (see module docstring)."""
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        keep, _ = state
+        hit = (keep.astype(jnp.float32) @ sup) > 0.0
+        new = valid & ~hit
+        return new, jnp.any(new != keep)
+
+    keep, _ = lax.while_loop(cond, body, (valid, jnp.bool_(True)))
+    return keep
+
+
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
              valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy NMS; returns a boolean keep mask aligned with the inputs.
+
+    Blocked evaluation: boxes are sorted by score and processed in BLOCK-row
+    chunks — an in-block fixpoint resolves the chunk's own suppression
+    chains, then one (BLOCK, N) pass removes every later box overlapping the
+    chunk's kept set. Exact sequential-greedy semantics at O(N^2/2) IoU work,
+    without materializing the (N, N) matrix the fixpoint would otherwise
+    re-read every iteration (deep suppression chains made that the single
+    hottest op of the training step at 2000 RPN candidates).
 
     Args:
       boxes: (N, 4) XYXY.
@@ -50,26 +78,43 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     boxes_s = jnp.take(boxes, order, axis=0)
     valid_s = scores[order] > NEG_INF / 2
 
-    iou = box_ops.pairwise_iou(boxes_s, boxes_s)
-    idx = jnp.arange(n)
-    # S[j, i]: higher-scored valid j suppresses i when kept
-    sup = (
-        (iou > iou_threshold)
-        & (idx[:, None] < idx[None, :])
-        & valid_s[:, None]
-    ).astype(jnp.float32)
+    if n <= BLOCK:
+        idx = jnp.arange(n)
+        sup = (
+            (box_ops.pairwise_iou(boxes_s, boxes_s) > iou_threshold)
+            & (idx[:, None] < idx[None, :])
+            & valid_s[:, None]
+        ).astype(jnp.float32)
+        keep_sorted = _fixpoint_keep(sup, valid_s)
+        return keep_sorted[jnp.argsort(order)]
 
-    def cond(state):
-        _, changed = state
-        return changed
+    pad = (-n) % BLOCK
+    if pad:
+        boxes_s = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+        valid_s = jnp.pad(valid_s, (0, pad))
+    np_ = n + pad
+    nb = np_ // BLOCK
+    ridx = jnp.arange(BLOCK)
+    cidx = jnp.arange(np_)
 
-    def body(state):
-        keep, _ = state
-        hit = (keep.astype(jnp.float32) @ sup) > 0.0
-        new = valid_s & ~hit
-        return new, jnp.any(new != keep)
+    def outer(i, keep):
+        base = i * BLOCK
+        blk = lax.dynamic_slice(boxes_s, (base, 0), (BLOCK, 4))
+        keep_blk = lax.dynamic_slice(keep, (base,), (BLOCK,))
+        sup = (
+            (box_ops.pairwise_iou(blk, blk) > iou_threshold)
+            & (ridx[:, None] < ridx[None, :])
+            & keep_blk[:, None]
+        ).astype(jnp.float32)
+        keep_blk = _fixpoint_keep(sup, keep_blk)
+        # one pass: kept rows of this block suppress every later box
+        cross = box_ops.pairwise_iou(blk, boxes_s) > iou_threshold  # (BLOCK, np)
+        hit = (keep_blk.astype(jnp.float32) @ cross.astype(jnp.float32)) > 0.0
+        later = cidx >= base + BLOCK
+        keep = keep & ~(hit & later)
+        return lax.dynamic_update_slice(keep, keep_blk, (base,))
 
-    keep_sorted, _ = lax.while_loop(cond, body, (valid_s, jnp.bool_(True)))
+    keep_sorted = lax.fori_loop(0, nb, outer, valid_s)[:n]
 
     # back to input order via the inverse permutation (argsort of argsort:
     # TPU scatters serialize and are ~1000x slower than a second sort)

@@ -50,6 +50,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -493,6 +494,15 @@ def _fast_bwd(strides, out_size, sampling_ratio, min_level, res, g):
 
     features, boxes = res
 
+    if jax.default_backend() == "tpu":
+        from .roi_align_bwd_pallas import roi_align_bwd_pallas
+
+        d_feats = roi_align_bwd_pallas(
+            features, boxes, g.astype(jnp.float32), list(strides), out_size,
+            sampling_ratio, min_level,
+        )
+        return tuple(d_feats), None
+
     def xla_pool(feats):
         return jax.vmap(
             lambda fl, bx: multilevel_roi_align(
@@ -500,6 +510,9 @@ def _fast_bwd(strides, out_size, sampling_ratio, min_level, res, g):
             )
         )(feats, boxes)
 
+    # pooling is linear in the features (boxes carry no gradient, matching
+    # torchvision ROIAlign): the unused primal forward is dead code under
+    # jit, so this costs one transposed gather (a scatter-add)
     _, vjp = jax.vjp(xla_pool, list(features))
     (d_feats,) = vjp(g.astype(jnp.float32))
     d_feats = [d.astype(f.dtype) for d, f in zip(d_feats, features)]

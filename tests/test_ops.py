@@ -109,6 +109,22 @@ class TestNMS:
                 )
                 assert set(np.where(keep)[0]) == expected, (trial, thresh)
 
+    def test_vs_oracle_blocked_path(self):
+        """N > BLOCK exercises the blocked (chunked) evaluation with deep
+        suppression chains crossing block boundaries."""
+        rng = np.random.default_rng(7)
+        n = 1000
+        xy = rng.uniform(0, 300, (n, 2))
+        wh = rng.uniform(5, 120, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        for thresh in (0.3, 0.6):
+            expected = set(nms_oracle(boxes, scores, thresh))
+            keep = np.asarray(
+                nms_ops.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), thresh)
+            )
+            assert set(np.where(keep)[0]) == expected, thresh
+
     def test_indices_ordering_and_padding(self):
         boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10.1, 10], [50, 50, 60, 60.0]])
         scores = jnp.array([0.9, 0.8, 0.7])

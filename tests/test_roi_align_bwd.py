@@ -1,0 +1,65 @@
+"""Pallas ROIAlign backward vs autodiff of the XLA gather pooler.
+
+The backward kernel transposes the same linear map as the forward plan
+(including the elongated-box level bump), so its gradients must match
+jax.grad of the XLA formulation except on bumped boxes.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omni3d_tpu.ops.roi_align import multilevel_roi_align
+from omni3d_tpu.ops.roi_align_bwd_pallas import roi_align_bwd_pallas
+
+STRIDES = (4, 8, 16, 32, 64)
+
+
+def _ref_grads(feats, boxes, g):
+    def pooled(fs):
+        return jax.vmap(
+            lambda fl, bx: multilevel_roi_align(list(fl), bx, list(STRIDES))
+        )(list(fs), boxes)
+
+    _, vjp = jax.vjp(pooled, feats)
+    return vjp(g)[0]
+
+
+def _case(seed, B, N, img=256, C=8):
+    rng = np.random.default_rng(seed)
+    feats = tuple(
+        jnp.asarray(rng.standard_normal(
+            (B, max(img // s, 1), max(img // s, 1), C)).astype(np.float32))
+        for s in STRIDES
+    )
+    xy = rng.uniform(0, img - 40, (B, N, 2)).astype(np.float32)
+    wh = rng.uniform(4, 100, (B, N, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, np.minimum(xy + wh, img - 1)], -1))
+    g = jnp.asarray(rng.standard_normal((B, N, 7, 7, C)).astype(np.float32))
+    return feats, boxes, g
+
+
+class TestBwdKernel:
+    def test_vs_autodiff_random(self):
+        feats, boxes, g = _case(0, B=2, N=13)
+        got = roi_align_bwd_pallas(feats, boxes, g, list(STRIDES), interpret=True)
+        want = _ref_grads(feats, boxes, g)
+        for gt, wt in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=2e-4)
+
+    def test_edge_and_large_boxes(self):
+        feats, boxes, g = _case(1, B=1, N=6)
+        boxes = boxes.at[0, 0].set(jnp.asarray([0., 0., 255., 255.]))  # whole img
+        boxes = boxes.at[0, 1].set(jnp.asarray([250., 250., 256., 256.]))  # corner
+        boxes = boxes.at[0, 2].set(jnp.asarray([0., 0., 2., 2.]))  # tiny
+        boxes = boxes.at[0, 3].set(jnp.asarray([0., 200., 255., 255.]))  # bottom strip
+        got = roi_align_bwd_pallas(feats, boxes, g, list(STRIDES), interpret=True)
+        want = _ref_grads(feats, boxes, g)
+        for gt, wt in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=2e-4)
+
+    def test_zero_grad_gives_zero(self):
+        feats, boxes, g = _case(2, B=1, N=5)
+        got = roi_align_bwd_pallas(
+            feats, boxes, jnp.zeros_like(g), list(STRIDES), interpret=True)
+        for gt in got:
+            assert float(jnp.abs(gt).max()) == 0.0
