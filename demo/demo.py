@@ -49,7 +49,8 @@ def main():
     from omni3d_tpu.config.cfg import StaticCfg
     from omni3d_tpu.config.defaults import get_default_cfg
     from omni3d_tpu.data.mapper import pad_to_bucket, resize_shortest_edge
-    from omni3d_tpu.models.rcnn3d import CubeRCNN, inference_step, preprocess
+    from omni3d_tpu.models.rcnn3d import (CubeRCNN, inference_kwargs,
+                                          inference_step, preprocess)
     from omni3d_tpu.vis.vis import (draw_2d_box, draw_bev, get_color,
                                     render_scene_view)
 
@@ -108,7 +109,8 @@ def main():
         ratio = h / net_h
         out = inference_step(variables, model, images, jnp.asarray(K[None]),
                              jnp.asarray([ratio]),
-                             topk=cfg.TEST.DETECTIONS_PER_IMAGE)
+                             hw=jnp.asarray([[net_h, net_w]], jnp.float32),
+                             **inference_kwargs(cfg))
         out = jax.tree.map(lambda t: np.asarray(t, np.float32)[0], out)
 
         keep = (out["valid"] > 0) & (out["scores"] >= args.threshold)

@@ -208,12 +208,14 @@ def get_default_cfg() -> CN:
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"      # conv/matmul activations
     cfg.TPU.PARAM_DTYPE = "float32"
     cfg.TPU.MAX_GT_BOXES = 128              # padded GT instances per image
-    cfg.TPU.MAX_DETECTIONS = 100            # final padded detections (== TEST.DETECTIONS_PER_IMAGE)
     cfg.TPU.NMS_CANDIDATES = 1024           # padded candidate count for class-NMS
+                                            # (final detections: TEST.DETECTIONS_PER_IMAGE)
     cfg.TPU.ROI_SAMPLING_RATIO = 2          # static ROIAlign sampling grid
     cfg.TPU.TRAIN_SIZE_BUCKETS = 4          # multi-scale train shapes bucketed to N compiles
     cfg.TPU.MESH_DATA = -1                  # data-parallel mesh size (-1 = all devices)
     cfg.TPU.REMAT_BACKBONE = False          # jax.checkpoint the backbone in training
+    cfg.TPU.IMAGENET_WEIGHTS_DIR = ""       # local ImageNet .pth dir (no-egress
+                                            # stand-in for reference dla.py:300-309)
 
     return cfg
 
@@ -224,3 +226,68 @@ def get_cfg_defaults(cfg: CN | None = None) -> CN:
     if cfg is not None:
         base.merge_from_other(cfg)
     return base
+
+
+# Keys kept for reference-YAML compatibility whose behavior is FIXED in this
+# build: validate_cfg rejects unsupported values instead of silently ignoring
+# them. Each entry: dotted key -> tuple of supported values.
+FIXED_VALUE_KEYS = {
+    "MODEL.META_ARCHITECTURE": ("RCNN3D",),
+    "MODEL.MASK_ON": (False,),
+    "MODEL.BACKBONE.FREEZE_AT": (0,),
+    "MODEL.RESNETS.TORCHVISION": (True,),
+    "MODEL.RPN.HEAD_NAME": ("StandardRPNHead",),
+    "MODEL.RPN.IOU_LABELS": ([0, -1, 1],),
+    "MODEL.RPN.BBOX_REG_LOSS_TYPE": ("smooth_l1",),
+    "MODEL.RPN.SMOOTH_L1_BETA": (0.0,),
+    "MODEL.RPN.BOUNDARY_THRESH": (-1,),
+    "MODEL.ROI_HEADS.IOU_LABELS": ([0, 1],),
+    "MODEL.ROI_BOX_HEAD.NUM_CONV": (0,),
+    "MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE": ("smooth_l1",),
+    "MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA": (0.0,),
+    "MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG": (False,),
+    "MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES": (False,),
+    # reference sampling_ratio 0 = adaptive grid; this build uses the static
+    # TPU.ROI_SAMPLING_RATIO grid (documented deviation, ops/roi_align_pallas)
+    "MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO": (0,),
+    "MODEL.ROI_CUBE_HEAD.NUM_CONV": (0,),
+    "MODEL.ROI_CUBE_HEAD.POOLER_SAMPLING_RATIO": (0,),
+    "MODEL.ROI_BOX_HEAD.POOLER_TYPE": ("ROIAlignV2",),
+    "MODEL.ROI_CUBE_HEAD.POOLER_TYPE": ("ROIAlignV2",),
+    "INPUT.MIN_SIZE_TRAIN_SAMPLING": ("choice",),
+    "INPUT.FORMAT": ("BGR",),
+    "SOLVER.WARMUP_METHOD": ("linear",),
+    "SOLVER.LR_SCHEDULER_NAME": ("WarmupMultiStepLR",),
+    "SOLVER.CLIP_GRADIENTS.NORM_TYPE": (2.0,),
+    "TPU.PARAM_DTYPE": ("float32",),
+}
+
+# Purely informational keys (no behavior attached, in the reference either).
+INFORMATIONAL_KEYS = (
+    "VERSION",
+    "MODEL.DEVICE",
+    "MODEL.ROI_BOX_HEAD.CONV_DIM",   # only meaningful when NUM_CONV > 0
+    "MODEL.ROI_CUBE_HEAD.CONV_DIM",
+)
+
+
+def validate_cfg(cfg: CN):
+    """Reject config values this build does not implement (a config surface
+    that silently ignores overrides is worse than an honest error)."""
+    def get(key):
+        node = cfg
+        for part in key.split("."):
+            node = getattr(node, part)
+        return node
+
+    for key, supported in FIXED_VALUE_KEYS.items():
+        val = get(key)
+        if isinstance(val, (list, tuple)):
+            ok = any(list(val) == list(s) for s in supported)
+        else:
+            ok = val in supported
+        if not ok:
+            raise ValueError(
+                f"config key {key}={val!r} is not supported by this build "
+                f"(supported: {supported})"
+            )

@@ -21,7 +21,8 @@ from collections import defaultdict
 import numpy as np
 
 from .datasets import get_dataset
-from .mapper import DatasetMapper3D, collate_batch
+from .mapper import (DatasetMapper3D, collate_batch, pad_to_bucket,
+                     resize_shortest_edge)
 
 
 def get_detection_dataset_dicts(names, filter_empty: bool = True):
@@ -132,35 +133,198 @@ def build_train_sampler(cfg, records, dataset_id_to_src=None, seed: int = 0):
     raise ValueError(f"Unknown training sampler: {name}")
 
 
+class ShapeBuckets:
+    """Static train-shape schedule: ≤ TPU.TRAIN_SIZE_BUCKETS padded (H, W)
+    shapes covering the full multi-scale augmentation range.
+
+    Replaces detectron2's aspect-ratio grouping (reference build.py:185-191)
+    AND bounds XLA recompiles (SURVEY §7 'hard parts'): records are grouped by
+    aspect class, each group gets a budget of canonical short sides carved
+    from INPUT.MIN_SIZE_TRAIN, and every (group, canonical-short) cell owns
+    one padded shape large enough for every member image at that scale. A
+    batch samples one cell (shared RNG -> identical shape on every process)
+    and resizes with any of the 25 scales that snap up to the cell's
+    canonical short, so augmentation diversity is preserved.
+    """
+
+    def __init__(self, records, scales, max_size: int, n_buckets: int,
+                 grouping: bool = True, pad_multiple: int = 128):
+        self.scales = sorted(scales)
+        self.max_size = max_size
+        top = self.scales[-1]
+
+        hw = np.asarray([(r["height"], r["width"]) for r in records], np.float64)
+        if grouping:
+            keys = [pad_to_bucket(*resize_shortest_edge(h, w, top, max_size),
+                                  pad_multiple) for h, w in hw]
+        else:
+            keys = [(0, 0)] * len(records)
+        uniq = sorted(set(keys))
+        groups = {k: np.nonzero([key == k for key in keys])[0] for k in uniq}
+
+        # merge smallest groups into the nearest aspect until the shape budget
+        # admits at least one canonical short per group
+        def aspect(k):
+            idx = groups[k]
+            return float(np.mean(hw[idx, 1] / hw[idx, 0]))
+
+        while len(groups) > max(1, n_buckets):
+            k_small = min(groups, key=lambda k: len(groups[k]))
+            others = [k for k in groups if k != k_small]
+            k_near = min(others, key=lambda k: abs(np.log(aspect(k) /
+                                                          aspect(k_small))))
+            groups[k_near] = np.concatenate([groups[k_near], groups[k_small]])
+            del groups[k_small]
+
+        # split the remaining budget over groups, proportional to size
+        sizes = {k: len(v) for k, v in groups.items()}
+        total = sum(sizes.values())
+        budget = {k: 1 for k in groups}
+        for _ in range(max(1, n_buckets) - len(groups)):
+            # give the next slot to the group with the largest size/slots ratio
+            k = max(groups, key=lambda k: sizes[k] / budget[k])
+            budget[k] += 1
+
+        self.groups = []
+        for k, idx in groups.items():
+            b = min(budget[k], len(self.scales))
+            chunks = np.array_split(np.asarray(self.scales), b)
+            shorts = [int(c[-1]) for c in chunks if len(c)]
+            shapes = {}
+            for s in shorts:
+                sub = hw[idx]
+                rs = np.asarray([resize_shortest_edge(h, w, s, max_size)
+                                 for h, w in sub])
+                shapes[s] = pad_to_bucket(int(rs[:, 0].max()),
+                                          int(rs[:, 1].max()), pad_multiple)
+            self.groups.append({
+                "indices": idx, "shorts": shorts, "shapes": shapes,
+            })
+
+        self.weights = np.asarray([len(g["indices"]) for g in self.groups],
+                                  np.float64)
+        self.weights /= self.weights.sum()
+
+    @property
+    def all_shapes(self):
+        return sorted({s for g in self.groups for s in g["shapes"].values()})
+
+    def sample_cell(self, rng) -> tuple[int, int, tuple[int, int]]:
+        """(group index, resize short side, padded shape) for one batch."""
+        gi = int(rng.choice(len(self.groups), p=self.weights))
+        g = self.groups[gi]
+        s = int(self.scales[rng.integers(len(self.scales))])
+        canon = next(c for c in g["shorts"] if c >= s)
+        return gi, s, g["shapes"][canon]
+
+
 def build_detection_train_loader(cfg, records=None, dataset_id_to_src=None,
                                  process_index: int = 0, process_count: int = 1,
                                  seed: int = 0):
     """Generator of padded train batches (local slice of the global batch).
 
-    Aspect-ratio grouping is subsumed by shape bucketing in collate_batch.
-    """
+    Shape bucketing (ShapeBuckets) bounds distinct batch shapes to
+    TPU.TRAIN_SIZE_BUCKETS; the bucket choice per step comes from a shared
+    RNG so every process emits the same global shape (an SPMD requirement the
+    reference's per-rank loaders never had). DATALOADER.NUM_WORKERS maps
+    samples in parallel threads (cv2 releases the GIL)."""
     if records is None:
         records = get_detection_dataset_dicts(
             cfg.DATASETS.TRAIN, cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
         )
-    sampler = build_train_sampler(cfg, records, dataset_id_to_src, seed)
+    buckets = ShapeBuckets(
+        records, cfg.INPUT.MIN_SIZE_TRAIN, cfg.INPUT.MAX_SIZE_TRAIN,
+        cfg.TPU.TRAIN_SIZE_BUCKETS, grouping=cfg.DATALOADER.ASPECT_RATIO_GROUPING,
+    )
     mapper = DatasetMapper3D(cfg, is_train=True,
                              rng=np.random.default_rng(seed + 1 + process_index))
     local_bs = cfg.SOLVER.IMS_PER_BATCH // process_count
     max_gt = cfg.TPU.MAX_GT_BOXES
+    shared_rng = np.random.default_rng(seed)  # identical on every process
+
+    # one sampler per aspect group; repeat/balance factors are computed on the
+    # FULL record set (global category frequencies, reference build.py:129-174)
+    # and then restricted to each group's members
+    name = cfg.DATALOADER.SAMPLER_TRAIN
+    balance = cfg.DATALOADER.BALANCE_DATASETS
+    factors = np.ones(len(records), np.float64)
+    weighted = False
+    if name == "RepeatFactorTrainingSampler":
+        factors *= repeat_factors_from_category_frequency(
+            records, cfg.DATALOADER.REPEAT_THRESHOLD)
+        weighted = True
+    elif name != "TrainingSampler":
+        raise ValueError(f"Unknown training sampler: {name}")
+    if balance:
+        assert dataset_id_to_src is not None, "Need dataset sources."
+        factors *= dataset_balance_weights(records, dataset_id_to_src)
+        weighted = True
+
+    def group_sampler(g):
+        if weighted:
+            f = factors[g["indices"]]
+            return iter(RepeatFactorTrainingSampler(f / f.min(), seed))
+        return iter(TrainingSampler(len(g["indices"]), seed))
+
+    samplers = [group_sampler(g) for g in buckets.groups]
+
+    n_workers = max(int(cfg.DATALOADER.NUM_WORKERS), 0)
+    pool = None
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(n_workers)
+
+    def local_indices(it):
+        # round-robin shard: this process takes every process_count-th
+        out = []
+        for _ in range(local_bs):
+            for _ in range(process_index):
+                next(it)
+            out.append(next(it))
+            for _ in range(process_count - process_index - 1):
+                next(it)
+        return out
 
     def gen():
-        it = iter(sampler)
         while True:
-            samples = []
-            # round-robin shard: this process takes every process_count-th
-            for _ in range(local_bs):
-                for _ in range(process_index):
-                    next(it)
-                samples.append(mapper(records[next(it)]))
-                for _ in range(process_count - process_index - 1):
-                    next(it)
-            yield collate_batch(samples, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD, max_gt)
+            gi, short, shape = buckets.sample_cell(shared_rng)
+            g = buckets.groups[gi]
+            idx = [g["indices"][i] for i in local_indices(samplers[gi])]
+            map_one = lambda i: mapper(records[i], short=short)
+            samples = list(pool.map(map_one, idx)) if pool else \
+                [map_one(i) for i in idx]
+            yield collate_batch(samples, cfg.MODEL.PIXEL_MEAN,
+                                cfg.MODEL.PIXEL_STD, max_gt, pad_shape=shape)
+
+    return _prefetch(gen(), depth=2) if n_workers > 0 else gen()
+
+
+def _prefetch(it, depth: int = 2):
+    """Run a generator in a daemon thread, keeping `depth` batches ready —
+    overlaps host-side decode/augment with device compute (the detectron2
+    worker-process analogue)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_SENTINEL)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
 
     return gen()
 

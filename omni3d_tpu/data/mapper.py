@@ -49,13 +49,15 @@ class DatasetMapper3D:
         self.hflip = is_train and cfg.INPUT.RANDOM_FLIP == "horizontal"
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, record: dict, image: np.ndarray | None = None) -> dict:
+    def __call__(self, record: dict, image: np.ndarray | None = None,
+                 short: int | None = None) -> dict:
         if image is None:
             image = read_image_bgr(record["file_name"])
         orig_h, orig_w = image.shape[:2]
 
-        short = self.min_sizes[self.rng.integers(len(self.min_sizes))] if self.is_train \
-            else self.min_sizes[0]
+        if short is None:
+            short = self.min_sizes[self.rng.integers(len(self.min_sizes))] \
+                if self.is_train else self.min_sizes[0]
         net_h, net_w = resize_shortest_edge(orig_h, orig_w, short, self.max_size)
         sx, sy = net_w / orig_w, net_h / orig_h
         image = cv2.resize(image, (net_w, net_h), interpolation=cv2.INTER_LINEAR)
@@ -123,17 +125,21 @@ def pad_to_bucket(h: int, w: int, multiple: int = 128) -> tuple[int, int]:
 
 
 def collate_batch(samples: list, pixel_mean, pixel_std, max_gt: int = 128,
-                  pad_multiple: int = 128) -> dict:
+                  pad_multiple: int = 128, pad_shape=None) -> dict:
     """Samples -> one padded, normalized batch of numpy arrays.
 
     Replaces detectron2 ImageList.from_tensors + per-image Instances with
     fixed-size masked tensors (images padded to a shared bucket, GT padded to
-    max_gt rows, gt_valid mask).
+    max_gt rows, gt_valid mask). `pad_shape` pins the padded (H, W) to a
+    precomputed bucket (data/build.py shape bucketing) so the number of
+    distinct train-step shapes — and XLA compiles — stays bounded.
     """
     B = len(samples)
     hb = max(s["net_h"] for s in samples)
     wb = max(s["net_w"] for s in samples)
-    Hp, Wp = pad_to_bucket(hb, wb, pad_multiple)
+    Hp, Wp = pad_shape or pad_to_bucket(hb, wb, pad_multiple)
+    assert Hp >= hb and Wp >= wb, (
+        f"bucket {pad_shape} smaller than batch extent {(hb, wb)}")
 
     mean = np.asarray(pixel_mean, np.float32)
     std = np.asarray(pixel_std, np.float32)

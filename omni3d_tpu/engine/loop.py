@@ -27,14 +27,14 @@ from ..evaluation.omni3d_eval import (
     Omni3DEvaluationHelper,
     instances_to_predictions,
 )
-from ..models.rcnn3d import CubeRCNN, inference_step, preprocess
+from ..models.rcnn3d import CubeRCNN, inference_kwargs, inference_step, preprocess
+from .. import parallel
 from ..solver.build import build_lr_schedule, build_optimizer
 from ..utils import checkpoint as ckpt
 from ..utils.events import EventStorage
 from .train import TrainState, create_train_state, make_mesh, make_train_step
 
-GAMMA = 0.02       # rolling-mean momentum (train_net.py:164)
-TOLERANCE = 4.0    # divergence tolerance (train_net.py:165)
+LOG_PERIOD = 20    # host<->device sync cadence (loss fetch + retry check)
 MAX_TRAINING_ATTEMPTS = 10
 
 
@@ -48,7 +48,8 @@ def visualize_training(cfg, eval_model, state, batch, storage):
     out = inference_step(
         variables, eval_model,
         batch["images"][0:1], batch["Ks"][0:1], batch["ratios"][0:1],
-        topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+        hw=batch["hw"][0:1],
+        **inference_kwargs(cfg),
     )
     det = {k: np.asarray(v[0], np.float32) for k, v in out.items()}
     host_batch = {k: np.asarray(v) for k, v in batch.items()}
@@ -72,9 +73,15 @@ def build_eval_model(cfg):
 
 def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
                           storage=None):
-    """Inference over one test dataset -> prediction dicts
-    (reference inference_on_dataset, omni3d_evaluation.py:522-641)."""
-    loader, n_total = data_build.build_detection_test_loader(cfg, dataset_name)
+    """Inference over one test dataset -> the FULL prediction list on every
+    process (reference inference_on_dataset, omni3d_evaluation.py:522-641):
+    the loader is rank-sharded like detectron2's InferenceSampler and the
+    per-process lists are merged with parallel.gather_objects — the
+    TPU-native stand-in for `comm.gather(predictions, dst=0)` :633-639."""
+    loader, n_total = data_build.build_detection_test_loader(
+        cfg, dataset_name,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
     contig_to_dataset = {v: k for k, v in id_map.items()}
     predictions = []
     next_id = 1
@@ -86,8 +93,8 @@ def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
         out = inference_step(
             variables, model,
             jnp.asarray(batch["images"]), jnp.asarray(batch["Ks"]),
-            jnp.asarray(batch["ratios"]),
-            topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+            jnp.asarray(batch["ratios"]), hw=jnp.asarray(batch["hw"]),
+            **inference_kwargs(cfg),
         )
         out = jax.tree.map(lambda t: np.asarray(t, np.float32), out)
         t_compute += time.perf_counter() - t0
@@ -101,6 +108,10 @@ def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
     if storage is not None:
         storage.put_scalar(f"eval/{dataset_name}/data_s", t_data)
         storage.put_scalar(f"eval/{dataset_name}/compute_s", t_compute)
+    predictions = parallel.gather_objects(predictions)
+    # per-process id counters collide after the merge: re-assign globally
+    for i, p in enumerate(predictions):
+        p["id"] = i + 1
     return predictions
 
 
@@ -123,6 +134,9 @@ def do_test(cfg, model, variables, output_dir=None, storage=None,
             if k in ("AP2D", "AP3D")))
     results["summary"] = helper.summarize_all()
     if results["summary"]:
+        from ..vis.logperf import print_per_category_table
+
+        print_per_category_table(results["summary"])
         print("[eval] " + "  ".join(
             f"{k}={v:.2f}" for k, v in results["summary"].items()
             if k.endswith(("AP2D", "AP3D"))))
@@ -132,11 +146,16 @@ def do_test(cfg, model, variables, output_dir=None, storage=None,
 def do_train(cfg, scfg, output_dir: str, resume: bool = False,
              max_steps: int | None = None, mesh=None, records=None,
              priors=None, eval_fn=None, seed: int = 0,
-             profile_dir: str | None = None):
+             profile_dir: str | None = None, init_variables_fn=None):
     """One training attempt; returns (success, state).
 
     success=False signals the retry protocol to restart from the last
     checkpoint (reference do_train returning False, train_net.py:258-285).
+
+    init_variables_fn: optional {'params', 'batch_stats'} -> same, applied to
+    the fresh init when NOT resuming from a native checkpoint — this is where
+    MODEL.WEIGHTS / MODEL.WEIGHTS_PRETRAIN / ImageNet backbone weights enter
+    the training path (reference train_net.py:139-145, dla.py:494).
     """
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     model = CubeRCNN(cfg=scfg, train_mode=True, dtype=dtype)
@@ -151,6 +170,16 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
         tree, extra = loaded
         state = jax.tree.map(jnp.asarray, tree)
         start_iter = int(extra.get("iteration", 0)) + 1
+    elif init_variables_fn is not None:
+        v = init_variables_fn(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        if v is not None:
+            state = state.replace(
+                params=v["params"],
+                batch_stats=v.get("batch_stats", state.batch_stats),
+                opt_state=tx.init(v["params"]),
+            )
 
     step_fn = make_train_step(scfg, model, tx, mesh=mesh)
     loader = data_build.build_detection_train_loader(
@@ -165,10 +194,14 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
     storage = EventStorage(output_dir, start_iter=start_iter)
     rng = jax.random.PRNGKey(seed + 100)
 
-    rolling_mean = None
-    iters_done = 0
-    iters_exploded = 0
     vis_model = build_eval_model(cfg) if cfg.VIS_PERIOD > 0 else None
+
+    # the divergence protocol (rolling mean, spike/NaN skip) lives IN the
+    # jitted step (engine/train.py) — the host only reads the cumulative
+    # skipped counter every LOG_PERIOD steps, so the loop dispatches
+    # asynchronously instead of syncing on the loss each iteration
+    # (reference train_net.py:186-252 syncs 3x per step).
+    skipped0 = int(state.skipped)
 
     for iteration in range(start_iter, max_iter):
         # profile steps 10-14 (past compilation) when requested (SURVEY §5.1)
@@ -178,26 +211,27 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
             jax.profiler.stop_trace()
         batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
         state, logs = step_fn(state, batch, rng)
-        total = float(logs["total_loss"])
-        finite = bool(logs["finite"] > 0)
 
-        # rolling-mean divergence protocol (train_net.py:159-285)
-        diverging = (not finite) or (
-            rolling_mean is not None and total > TOLERANCE * rolling_mean
-        )
-        if not diverging and np.isfinite(total):
-            rolling_mean = total if rolling_mean is None else (
-                (1 - GAMMA) * rolling_mean + GAMMA * total
-            )
-        iters_done += 1
-        iters_exploded += int(diverging)
-        if iters_done >= max(period // 2, 20):
-            if iters_exploded / iters_done > cfg.MODEL.STABILIZE:
-                print(f"[train] unstable: {iters_exploded}/{iters_done} "
-                      f"exploded iterations; restarting from checkpoint")
+        last = iteration == max_iter - 1
+        if iteration % LOG_PERIOD == 0 or last:
+            host_logs = {k: float(v) for k, v in logs.items()}  # device sync
+            for k, v in host_logs.items():
+                storage.put_scalar(k, v)
+            print("[train] " + storage.log_line(max_iter, lr=host_logs["lr"]))
+            storage.write()
+
+            # exploded-iteration budget -> restart from checkpoint
+            # (reference train_net.py:253-285: cumulative per attempt, armed
+            # after half a checkpoint period)
+            exploded = int(state.skipped) - skipped0
+            done = iteration - start_iter + 1
+            if (done > period // 2
+                    and exploded / done >= cfg.MODEL.STABILIZE > 0):
+                print(f"[train] unstable: {exploded}/{done} exploded "
+                      f"iterations; restarting from checkpoint")
                 storage.close()
                 return False, state
-            iters_done = iters_exploded = 0
+        storage.step()
 
         if (vis_model is not None and iteration > 0
                 and iteration % cfg.VIS_PERIOD == 0
@@ -206,13 +240,6 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
                 visualize_training(cfg, vis_model, state, batch, storage)
             except Exception as e:  # vis must never kill a training run
                 print(f"[train] visualization failed: {e}")
-
-        for k, v in logs.items():
-            storage.put_scalar(k, v)
-        if iteration % 20 == 0:
-            print("[train] " + storage.log_line(max_iter, lr=float(schedule(iteration))))
-        storage.write()
-        storage.step()
 
         if jax.process_index() == 0:
             checkpointer.step(iteration, state, {"iteration": iteration})

@@ -33,6 +33,7 @@ from ..models.roi_training import (
 )
 from ..models.rpn import label_and_sample_anchors, rpn_losses, select_proposals
 from ..ops.roi_align_pallas import multilevel_roi_align_fast
+from ..parallel import make_mesh  # re-export: train entry points use it
 from ..solver.build import build_lr_schedule
 
 
@@ -42,7 +43,9 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
-    skipped: jnp.ndarray  # cumulative stabilizer-skipped updates
+    skipped: jnp.ndarray       # cumulative stabilizer-skipped updates
+    recent_loss: jnp.ndarray   # rolling loss mean (reference recent_loss,
+                               # train_net.py:168; < 0 means uninitialized)
 
 
 def create_train_state(cfg, model: CubeRCNN, tx, rng, input_hw=(512, 512),
@@ -63,6 +66,7 @@ def create_train_state(cfg, model: CubeRCNN, tx, rng, input_hw=(512, 512),
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
         skipped=jnp.zeros((), jnp.int32),
+        recent_loss=-jnp.ones((), jnp.float32),
     )
 
 
@@ -81,14 +85,19 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
     C = cfg.MODEL.ROI_HEADS.NUM_CLASSES
     variables = {"params": params, "batch_stats": batch_stats}
 
-    if train_bn:
-        feats, mutated = model.apply(
-            variables, images, method=CubeRCNN.features, mutable=["batch_stats"]
-        )
-        new_bs = mutated["batch_stats"]
-    else:
-        feats = model.apply(variables, images, method=CubeRCNN.features)
-        new_bs = batch_stats
+    def features_fn(p, bs, im):
+        if train_bn:
+            return model.apply({"params": p, "batch_stats": bs}, im,
+                               method=CubeRCNN.features, mutable=["batch_stats"])
+        return (model.apply({"params": p, "batch_stats": bs}, im,
+                            method=CubeRCNN.features), {"batch_stats": bs})
+
+    if cfg.TPU.REMAT_BACKBONE:
+        # trade backbone activation memory for recompute in the backward
+        # (HBM is the constraint at large per-chip batch; conv FLOPs are not)
+        features_fn = jax.checkpoint(features_fn)
+    feats, mutated = features_fn(params, batch_stats, images)
+    new_bs = mutated["batch_stats"] if train_bn else batch_stats
     # keep features in model dtype: upcasting here makes XLA hoist the
     # convert into the convs (conv_f32 runs ~1000x slower on this backend)
     flist = [feats[f] for f in FEATURE_NAMES]
@@ -128,6 +137,8 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
         batch_size=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
         objectness=cfg.MODEL.RPN.OBJECTNESS_UNCERTAINTY,
     )
+    if cfg.MODEL.RPN.LOSS_WEIGHT != 1.0:
+        losses = {k: v * cfg.MODEL.RPN.LOSS_WEIGHT for k, v in losses.items()}
 
     # ---- proposals (detached, reference RPN.predict_proposals no_grad) ----
     def per_image_proposals(lg, dl, hw):
@@ -160,19 +171,26 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
       batch["gt_valid"])
 
     # ---- box branch ----
-    import os as _os
-    _ABL_POOLBWD = bool(_os.environ.get("TRAIN_ABL_NO_POOL_GRAD"))
-
     def pool(boxes_b):
-        # pallas forward + XLA-transpose backward (linear op, exact VJP)
+        # pallas forward + pallas/XLA-transpose backward (linear op, exact VJP)
         return multilevel_roi_align_fast(
             tuple(flist), boxes_b, FEATURE_STRIDES,
             cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION, cfg.TPU.ROI_SAMPLING_RATIO,
         )
 
-    pooled = pool(sampled["boxes"])
-    if _ABL_POOLBWD:
-        pooled = lax.stop_gradient(pooled)
+    # pool the box branch and (when enabled) the cube branch in ONE kernel
+    # launch over the concatenated RoI set — the pyramid staging and the
+    # backward scatter-add are shared instead of duplicated per pooler
+    with_cube = cfg.MODEL.ROI_CUBE_HEAD.LOSS_W_3D > 0
+    if with_cube:
+        from ..models.heads import scale_proposals
+
+        fg_boxes = sampled["boxes"][:, :F]
+        cube_boxes = scale_proposals(fg_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
+        pooled_all = pool(jnp.concatenate([sampled["boxes"], cube_boxes], axis=1))
+        pooled, pooled_cube = pooled_all[:, :S], pooled_all[:, S:]
+    else:
+        pooled = pool(sampled["boxes"])
     scores2d, deltas2d = model.apply(
         variables, pooled.reshape(B * S, *pooled.shape[2:]), method=CubeRCNN.box_branch
     )
@@ -199,17 +217,9 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
     }
 
     # ---- cube branch on the foreground slots ----
-    if cfg.MODEL.ROI_CUBE_HEAD.LOSS_W_3D > 0:
-        from ..models.heads import scale_proposals
-
-        fg_boxes = sampled["boxes"][:, :F]
+    if with_cube:
         fg_classes = jnp.clip(sampled["classes"][:, :F], 0, C - 1)
         fg_mask = sampled["fg"][:, :F]
-        pooled_cube = pool(
-            scale_proposals(fg_boxes, cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
-        )
-        if _ABL_POOLBWD:
-            pooled_cube = lax.stop_gradient(pooled_cube)
         cube_out = model.apply(
             variables, pooled_cube.reshape(B * F, *pooled_cube.shape[2:]),
             method=CubeRCNN.cube_branch,
@@ -263,6 +273,10 @@ def make_train_step(cfg, model: CubeRCNN, tx, mesh: Mesh | None = None,
     schedule = build_lr_schedule(cfg)
     train_bn = bool(cfg.MODEL.USE_BN)
 
+    stabilize_on = stabilize and cfg.MODEL.STABILIZE > 0
+    TOLERANCE = 4.0  # loss-spike skip threshold (reference train_net.py:164)
+    GAMMA = 0.02     # rolling-mean gain (train_net.py:166)
+
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -271,32 +285,52 @@ def make_train_step(cfg, model: CubeRCNN, tx, mesh: Mesh | None = None,
             state.params, state.batch_stats, batch, rng, model, cfg, train_bn
         )
 
-        if stabilize:
-            # in-graph stabilizer (reference train_net.py:226-252): a single
-            # global finite flag decides skip-vs-step for every device at once
-            finite = jnp.isfinite(total)
+        if stabilize_on:
+            # full in-graph stabilizer (reference train_net.py:192-252):
+            # skip the update on (a) a loss spike vs the rolling mean,
+            # (b) a non-finite loss, (c) any non-finite gradient. The loss
+            # here is already the global-batch loss under SPMD, so the
+            # decision is all-device-consistent by construction (the
+            # reference needs two all-reduces + syncs per step for this).
+            finite_loss = jnp.isfinite(total)
+            has_recent = state.recent_loss >= 0
+            spiking = has_recent & (total > TOLERANCE * state.recent_loss)
+            loss_diverging = spiking | ~finite_loss
+            grad_finite = jnp.bool_(True)
             for g in jax.tree.leaves(grads):
-                finite &= jnp.all(jnp.isfinite(g))
-            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+                grad_finite &= jnp.all(jnp.isfinite(g))
+            diverging = loss_diverging | ~grad_finite
+            # rolling mean updates when the loss is not spiking/NaN
+            # (train_net.py:193-210: init at 2x the first finite loss)
+            new_recent = jnp.where(
+                loss_diverging, state.recent_loss,
+                jnp.where(has_recent,
+                          (1 - GAMMA) * state.recent_loss + GAMMA * total,
+                          2.0 * total))
+            grads = jax.tree.map(
+                lambda g: jnp.where(diverging, jnp.zeros_like(g), g), grads)
         else:
-            finite = jnp.bool_(True)
+            diverging = jnp.bool_(False)
+            new_recent = state.recent_loss
 
+        ok = ~diverging
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(finite, x, y), a, b)
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(ok, x, y), a, b)
         new_state = TrainState(
             step=state.step + 1,
             params=sel(new_params, state.params),
             batch_stats=sel(new_bs, state.batch_stats) if train_bn else state.batch_stats,
             opt_state=sel(new_opt, state.opt_state),
-            skipped=state.skipped + (1 - finite.astype(jnp.int32)),
+            skipped=state.skipped + diverging.astype(jnp.int32),
+            recent_loss=new_recent,
         )
         logs = dict(losses)
         logs.update(metrics)
         logs["total_loss"] = total
         logs["lr"] = schedule(state.step)
-        logs["finite"] = finite.astype(jnp.float32)
+        logs["finite"] = ok.astype(jnp.float32)
         return new_state, logs
 
     if mesh is None:
@@ -312,12 +346,3 @@ def make_train_step(cfg, model: CubeRCNN, tx, mesh: Mesh | None = None,
     )
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D data-parallel mesh — the single parallelism strategy this workload
-    needs (SURVEY §2.4: convnet detector, params fit per chip)."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    import numpy as np
-
-    return Mesh(np.array(devs), ("data",))

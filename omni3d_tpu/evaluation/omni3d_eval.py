@@ -407,9 +407,9 @@ class Omni3DEval:
                 "AP2D": S(1),
                 "AP2D@50": S(1, 0.5),
                 "AP2D@75": S(1, 0.75),
-                "AP2D-s": S(1, areaRng="small"),
-                "AP2D-m": S(1, areaRng="medium"),
-                "AP2D-l": S(1, areaRng="large"),
+                "AP2D-small": S(1, areaRng="small"),
+                "AP2D-med": S(1, areaRng="medium"),
+                "AP2D-large": S(1, areaRng="large"),
                 "AR2D@1": S(0, maxDets=1),
                 "AR2D@10": S(0, maxDets=10),
                 "AR2D@100": S(0, maxDets=100),
@@ -420,9 +420,9 @@ class Omni3DEval:
                 "AP3D@15": S(1, 0.15),
                 "AP3D@25": S(1, 0.25),
                 "AP3D@50": S(1, 0.50),
-                "AP3D-n": S(1, areaRng="near"),
-                "AP3D-m": S(1, areaRng="medium"),
-                "AP3D-f": S(1, areaRng="far"),
+                "AP3D-near": S(1, areaRng="near"),
+                "AP3D-med": S(1, areaRng="medium"),
+                "AP3D-far": S(1, areaRng="far"),
                 "AR3D@1": S(0, maxDets=1),
                 "AR3D@10": S(0, maxDets=10),
                 "AR3D@100": S(0, maxDets=100),
@@ -536,9 +536,9 @@ class Omni3DEvaluationHelper:
         self.results[dataset_name] = res
         return res
 
-    def _reaccumulate(self, datasets, mode, category_names=None):
-        """Concat cached per-image evals across datasets (reference
-        :378-519) and re-accumulate."""
+    def _reaccumulate(self, datasets, mode):
+        """Concat cached per-image evals across datasets into ONE combined
+        Omni3DEval (reference :396-430) and accumulate it."""
         per_cat_area = defaultdict(list)
         cat_ids = set()
         img_count = 0
@@ -560,26 +560,70 @@ class Omni3DEvaluationHelper:
         combined.evals_per_cat_area = dict(per_cat_area)
         combined.evalImgs = []
         combined.accumulate()
-        return combined.summarize()
+        return combined
+
+    def _cat_id_to_name(self) -> dict:
+        """catId -> category name from the registered GT APIs."""
+        out = {}
+        for api in self._gt_apis.values():
+            for c in api.dataset.get("categories", []):
+                out[c["id"]] = c["name"]
+        return out
 
     def summarize_all(self):
-        """Concat + Omni3D_In/Out tables. Category filtering for the In/Out
-        splits follows the builtin category sets."""
+        """Cross-dataset summary with reference semantics (:378-519):
+
+          * ONE overall re-accumulation of every dataset's cached per-image
+            evals (not per-subset re-accumulations),
+          * per-category APs from the combined precision tensor
+            (area range 'all', maxDets -1) emitted as `Concat/AP2D-{name}` /
+            `Concat/AP3D-{name}` (reference results2D/3D "AP-{name}", :418-424),
+          * Concat AP2D/AP3D = mean of per-category APs over ALL categories
+            (:455-459 general_2D/3D),
+          * Omni3D / Omni3D_In / Omni3D_Out AP2D/AP3D = mean of per-category
+            APs over the builtin category sets, only when the evaluated
+            category set covers them (:477-497),
+          * the analysis extras (AP3D@15/25/50, near/med/far) stay the
+            combined accumulation's stats (:460-468).
+        """
         out = {}
+        id2name = self._cat_id_to_name()
+        per_cat = {}  # mode -> {name: ap}
         for mode in ("2D", "3D"):
-            s = self._reaccumulate(self.dataset_names, mode)
-            if s:
-                out.update({f"Concat/{k}": v for k, v in s.items()})
-        # indoor / outdoor subsets by dataset membership
-        in_sets = [d for d in self.dataset_names if any(
-            k in d for k in ("SUNRGBD", "Hypersim", "ARKitScenes"))]
-        out_sets = [d for d in self.dataset_names if any(
-            k in d for k in ("KITTI", "nuScenes"))]
-        for label, subset in (("Omni3D_In", in_sets), ("Omni3D_Out", out_sets)):
-            if not subset:
+            ev = self._reaccumulate(self.dataset_names, mode)
+            if ev is None:
                 continue
-            for mode in ("2D", "3D"):
-                s = self._reaccumulate(subset, mode)
-                if s:
-                    out.update({f"{label}/{k}": v for k, v in s.items()})
+            stats = ev.summarize()
+            out.update({f"Concat/{k}": v for k, v in stats.items()})
+            tag = "AP2D" if mode == "2D" else "AP3D"
+            pc = {}
+            for cid, ap in ev.per_category_ap().items():
+                name = id2name.get(cid, str(cid))
+                pc[name] = ap
+                out[f"Concat/{tag}-{name}"] = ap
+            per_cat[mode] = pc
+        if not per_cat:
+            return out
+
+        categories = set(per_cat.get("2D", per_cat.get("3D", {})))
+
+        def mean_over(names, mode):
+            vals = [per_cat[mode][n] for n in names]
+            return float(np.mean(vals)) if vals else float("nan")
+
+        # Concat headline = mean per-category AP (overrides the raw stat)
+        for mode, tag in (("2D", "AP2D"), ("3D", "AP3D")):
+            if mode in per_cat:
+                out[f"Concat/{tag}"] = mean_over(categories, mode)
+
+        for label, split in (("Omni3D", "omni3d"), ("Omni3D_In", "omni3d_in"),
+                             ("Omni3D_Out", "omni3d_out")):
+            split_cats = get_omni3d_categories(split)
+            covered = not (split_cats - categories)
+            for mode, tag in (("2D", "AP2D"), ("3D", "AP3D")):
+                if mode not in per_cat:
+                    continue
+                out[f"{label}/{tag}"] = (
+                    mean_over(split_cats, mode) if covered else float("nan")
+                )
         return out

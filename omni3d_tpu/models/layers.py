@@ -161,6 +161,12 @@ class _EvalBN(nn.Module):
     applied in the compute dtype, which XLA fuses into the conv epilogue.
     Variable names/collections mirror nn.BatchNorm so checkpoints and
     train-mode inits interchange.
+
+    Numerical scope: this replaces nn.BatchNorm for ALL inference BNs, not
+    just the packed stem. At f32 the whole eval backbone matches a torch
+    forward within 2e-4 (tests/test_pretrained.py::test_activation_parity);
+    at bf16 the affine's rounding is at the activation dtype's own noise
+    floor, so no separate opt-in is kept.
     """
 
     dtype: Any = jnp.float32

@@ -153,7 +153,26 @@ def preprocess(images_bgr: jnp.ndarray, pixel_mean, pixel_std) -> jnp.ndarray:
     return (images_bgr.astype(jnp.float32) - mean) / std
 
 
+def inference_kwargs(cfg) -> dict:
+    """Static inference knobs from the config (reference test-time keys:
+    ROI_HEADS.SCORE_THRESH_TEST/NMS_THRESH_TEST, RPN.*_NMS_TOPK_TEST,
+    TEST.DETECTIONS_PER_IMAGE; TPU.NMS_CANDIDATES bounds the padded
+    candidate set fed to class-NMS). Pass as **inference_kwargs(cfg) to
+    inference_step/inference_impl so config overrides actually take effect."""
+    return dict(
+        score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+        nms_candidates=cfg.TPU.NMS_CANDIDATES,
+        pre_nms_topk=cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
+        post_nms_topk=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO,
+    )
+
+
 def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
+                   hw=None,
                    score_thresh=0.01, nms_thresh=0.5, topk=100, nms_candidates=1024,
                    pre_nms_topk=1000, post_nms_topk=1000, rpn_nms_thresh=0.7,
                    sampling_ratio=2, oracle=None):
@@ -164,6 +183,10 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
       images: (B, H, W, 3) normalized BGR at network resolution.
       Ks: (B, 3, 3) ORIGINAL-resolution intrinsics.
       im_scales_ratio: (B,) original_height / network_height.
+      hw: optional (B, 2) per-image net (height, width) BEFORE padding —
+        proposals/detections clip to each image's own extent instead of the
+        padded bucket (detectron2 clips per image; matters for mixed-size
+        batches where a box could otherwise leak into a neighbor's padding).
       oracle: optional (boxes (B, K, 4) net-res, classes (B, K), valid (B, K))
         — bypasses the RPN + 2D box branch and runs only the cube branch on
         the given GT 2D boxes with score 1 (reference rcnn3d.py:98-101,
@@ -210,15 +233,17 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
             cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
         )
     ]
-    image_hw = jnp.asarray([H, W], jnp.float32)
+    image_hw = (jnp.broadcast_to(jnp.asarray([H, W], jnp.float32), (B, 2))
+                if hw is None else jnp.asarray(hw, jnp.float32))
 
     def per_image_proposals(args):
-        lg, dl = args
-        return select_proposals(anchors, lg, dl, image_hw, pre_nms_topk,
+        lg, dl, ihw = args
+        return select_proposals(anchors, lg, dl, ihw, pre_nms_topk,
                                 post_nms_topk, rpn_nms_thresh)
 
     prop_boxes, prop_scores, prop_valid = jax.vmap(per_image_proposals)(
-        ([l.astype(jnp.float32) for l in logits], [d.astype(jnp.float32) for d in deltas])
+        ([l.astype(jnp.float32) for l in logits],
+         [d.astype(jnp.float32) for d in deltas], image_hw)
     )
 
     # ---- box branch ----
@@ -241,11 +266,11 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
     deltas2d = deltas2d.reshape(B, post_nms_topk, C * 4).astype(jnp.float32)
 
     dets = jax.vmap(
-        lambda s, d, b, v: fast_rcnn_inference(
-            s, d, b, v, image_hw, C, score_thresh, nms_thresh, topk, nms_candidates,
+        lambda s, d, b, v, ihw: fast_rcnn_inference(
+            s, d, b, v, ihw, C, score_thresh, nms_thresh, topk, nms_candidates,
             tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
         )
-    )(scores2d, deltas2d, prop_boxes, prop_valid)
+    )(scores2d, deltas2d, prop_boxes, prop_valid, image_hw)
 
     return _cube_branch_outputs(params, model, flist, dets, Ks, im_scales_ratio,
                                 sampling_ratio, prop_boxes, prop_valid,

@@ -24,7 +24,12 @@ Window origins are 8-aligned on BOTH axes here (rows and x-cells are sublane
 the backward windows are 40x40 cells; y windows clamp to the image's staged
 rows. Rows/x beyond a box's taps carry zero weights, so window overhang into
 a neighboring level block adds exact zeros (validated against autodiff of
-the XLA pooler).
+the XLA pooler). Coverage asymmetry: these 40-cell windows are a superset
+of the forward kernel's 32-cell windows, so for the rare extremely
+elongated boxes whose outermost taps the pallas FORWARD drops (see
+roi_align_pallas.py's documented deviation) this VJP still includes those
+taps — it is the exact transpose of the XLA-oracle forward, not of the
+pallas forward's truncation.
 
 Gradient accumulation is float32 at full channel width — the accumulator
 block is ~32 MB at 512px/C=256, within VMEM once the compiler's default

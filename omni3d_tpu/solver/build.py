@@ -25,15 +25,28 @@ def _is_prior_param(path) -> bool:
     return any("priors" in str(p) for p in path)
 
 
+def _param_class(path) -> str:
+    """'norm' | 'prior' | 'bias' | 'rest' with the reference's precedence
+    (solver/build.py:33-46: norm-module membership beats the bias key)."""
+    keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+    if _is_prior_param(keys):
+        return "prior"
+    if _is_norm_param(keys):
+        return "norm"
+    if keys and keys[-1] == "bias":
+        return "bias"
+    return "rest"
+
+
+def class_mask(params, *classes):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _param_class(path) in classes, params)
+
+
 def weight_decay_mask(params):
     """True where coupled weight decay applies (reference solver/build.py:44-46
     gives prior buffers WD=0; detectron2 gives norm params WEIGHT_DECAY_NORM)."""
-
-    def f(path, _):
-        keys = [getattr(p, "key", getattr(p, "name", p)) for p in path]
-        return not (_is_norm_param(keys) or _is_prior_param(keys))
-
-    return jax.tree_util.tree_map_with_path(f, params)
+    return class_mask(params, "bias", "rest")
 
 
 def build_lr_schedule(cfg):
@@ -54,17 +67,66 @@ def build_lr_schedule(cfg):
     return schedule
 
 
-def build_optimizer(cfg, params=None) -> optax.GradientTransformation:
-    """SGD/Adam(W) with torch-style coupled L2 (reference solver/build.py:51-67).
+ADAM_EPS = 1e-2  # reference solver/build.py:58-66 passes eps=1e-02 to Adam(W)
 
-    LR is injected via `optax.scale_by_learning_rate(schedule)`; WD is added to
-    gradients *before* the momentum trace, matching torch.optim.SGD. The WD
-    mask is a callable so it binds to whatever params the optimizer sees.
+
+def scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8):
+    """AMSGrad with torch.optim semantics: the running max is taken over the
+    RAW second moment and bias correction divides the maxed value each step
+    (optax.scale_by_amsgrad maxes the bias-corrected moment instead, which
+    diverges from torch in the early steps)."""
+
+    def init_fn(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return {"count": jnp.zeros((), jnp.int32),
+                "mu": z, "nu": jax.tree.map(jnp.zeros_like, params),
+                "nu_max": jax.tree.map(jnp.zeros_like, params)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state["nu"], updates)
+        nu_max = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+        c = state["count"] + 1
+        bc1 = 1 - b1 ** c.astype(jnp.float32)
+        bc2 = 1 - b2 ** c.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max)
+        return out, {"count": c, "mu": mu, "nu": nu, "nu_max": nu_max}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(cfg, params=None) -> optax.GradientTransformation:
+    """SGD/Adam(W)(+amsgrad) with the reference's per-parameter groups
+    (solver/build.py:6-70):
+
+      * norm params: WEIGHT_DECAY_NORM (precedence over the bias rule),
+      * biases: lr x BIAS_LR_FACTOR, WEIGHT_DECAY_BIAS (None -> WEIGHT_DECAY),
+      * prior buffers: WD = 0,
+      * Adam variants use eps=1e-2 and optionally amsgrad.
+
+    Coupled (torch-style) L2 is added to gradients before the momentum/adam
+    moments for sgd/adam, decoupled after for adamw — matching torch.optim.
+    Masks are callables so they bind to whatever params the optimizer sees.
     """
     solver_type = cfg.SOLVER.TYPE.lower()
-    wd = cfg.SOLVER.WEIGHT_DECAY
     schedule = build_lr_schedule(cfg)
-    mask = weight_decay_mask
+    wd = cfg.SOLVER.WEIGHT_DECAY
+    wd_norm = cfg.SOLVER.WEIGHT_DECAY_NORM
+    wd_bias = cfg.SOLVER.WEIGHT_DECAY_BIAS
+    wd_bias = wd if wd_bias is None else wd_bias
+    bias_lr = cfg.SOLVER.BIAS_LR_FACTOR
+    bias_lr = 1.0 if bias_lr is None else bias_lr
+
+    def decay_terms():
+        groups = [(wd, ("rest",)), (wd_bias, ("bias",)), (wd_norm, ("norm",))]
+        return [
+            optax.add_decayed_weights(v, mask=lambda p, c=classes: class_mask(p, *c))
+            for v, classes in groups if v
+        ]
 
     chain = []
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
@@ -73,20 +135,25 @@ def build_optimizer(cfg, params=None) -> optax.GradientTransformation:
         else:
             chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
 
-    if solver_type == "sgd":
-        if wd > 0:
-            chain.append(optax.add_decayed_weights(wd, mask=mask))
-        chain.append(optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV))
-    elif solver_type.startswith("adamw"):
-        chain.append(optax.scale_by_adam())
-        if wd > 0:
-            chain.append(optax.add_decayed_weights(wd, mask=mask))
-    elif solver_type.startswith("adam"):
-        if wd > 0:
-            chain.append(optax.add_decayed_weights(wd, mask=mask))
-        chain.append(optax.scale_by_adam())
+    amsgrad = solver_type.endswith("+amsgrad")
+    base_type = solver_type.removesuffix("+amsgrad")
+    scale_adam = (scale_by_amsgrad_torch(eps=ADAM_EPS) if amsgrad
+                  else optax.scale_by_adam(eps=ADAM_EPS))
+    if base_type == "sgd":
+        chain += decay_terms()
+        chain.append(optax.trace(decay=cfg.SOLVER.MOMENTUM,
+                                 nesterov=cfg.SOLVER.NESTEROV))
+    elif base_type == "adamw":
+        chain.append(scale_adam)
+        chain += decay_terms()
+    elif base_type == "adam":
+        chain += decay_terms()
+        chain.append(scale_adam)
     else:
         raise ValueError(f"Unknown solver type {cfg.SOLVER.TYPE}")
 
     chain.append(optax.scale_by_learning_rate(schedule))
+    if bias_lr != 1.0:
+        chain.append(optax.masked(optax.scale(bias_lr),
+                                  lambda p: class_mask(p, "bias")))
     return optax.chain(*chain)

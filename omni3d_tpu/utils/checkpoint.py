@@ -139,8 +139,10 @@ def flax_path_to_torch(path: tuple[str, ...]) -> str | None:
                 out.append("project.0" if sub == "c" else "project.1")
                 i += 3
             elif name == "root":
+                # flax Root nests Conv('conv'->nn.Conv 'conv') and
+                # BatchNorm('bn'->'bn'); torch Root is flat root.conv/root.bn
                 out.append("root." + rest[i + 1])  # conv | bn
-                i += 2
+                i += 3
             else:  # levelK, tree1, tree2 pass through
                 out.append(name)
                 i += 1
@@ -230,6 +232,61 @@ def _shufflenet_torch_key(rest):
     }
     conv_k, bn_k = table[rest[1]]
     return f"{prefix}.{conv_k if kind == 'c' else bn_k}"
+
+
+# ImageNet (backbone-only) namespaces: maps the full-model torch prefix our
+# key mapping produces onto the prefix used by the published ImageNet weights
+# each reference backbone initializes from (reference dla.py:300-309
+# flat DLA names; resnet.py:66-96 / densenet.py / mnasnet.py / shufflenet.py
+# torchvision `models.*(pretrained=True)` namespaces).
+IMAGENET_PREFIXES = {
+    "build_dla_from_vision_fpn_backbone": ("backbone.bottom_up.", ""),
+    "build_resnet_from_vision_fpn_backbone": ("backbone.bottom_up.", ""),
+    "build_densenet_fpn_backbone": ("backbone.bottom_up.base.", "features."),
+    "build_mnasnet_fpn_backbone": ("backbone.bottom_up.base.", "layers."),
+    "build_shufflenet_fpn_backbone": ("backbone.bottom_up.", ""),
+}
+
+# ImageNet classifier heads each family carries that the detector drops
+# (reference dla.py:306-308 deletes fc.* before load_state_dict).
+_IMAGENET_HEAD_PREFIXES = ("fc.", "classifier.", "conv5.")
+
+
+def convert_imagenet_backbone(state_dict: dict, params, batch_stats,
+                              backbone_name: str, strict: bool = False):
+    """Load flat ImageNet backbone weights into the `backbone` subtree only.
+
+    Replaces the reference's from-scratch ImageNet initialization
+    (dla.py:494 `imagenet_pretrain` gate -> load_pretrained_model :300-309,
+    torchvision `pretrained=True` in resnet.py:66-96 and the densenet/
+    mnasnet/shufflenet builders). The head/FPN params keep their random init.
+
+    Returns (new_params, new_batch_stats, report).
+    """
+    model_prefix, imagenet_prefix = IMAGENET_PREFIXES[backbone_name]
+    if "model" in state_dict and isinstance(state_dict["model"], dict):
+        state_dict = state_dict["model"]
+    if "state_dict" in state_dict and isinstance(state_dict["state_dict"], dict):
+        state_dict = state_dict["state_dict"]
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith(_IMAGENET_HEAD_PREFIXES):
+            continue
+        if imagenet_prefix and not k.startswith(imagenet_prefix):
+            continue
+        sd[model_prefix + k[len(imagenet_prefix):]] = v
+    wrapped_p = {"backbone": params["backbone"]}
+    wrapped_s = {"backbone": batch_stats["backbone"]} if batch_stats else {}
+    new_p, new_s, report = convert_reference_checkpoint(
+        sd, wrapped_p, wrapped_s, strict=strict
+    )
+    out_p = dict(params)
+    out_p["backbone"] = new_p["backbone"]
+    out_s = batch_stats
+    if batch_stats:
+        out_s = dict(batch_stats)
+        out_s["backbone"] = new_s["backbone"]
+    return out_p, out_s, report
 
 
 def convert_reference_checkpoint(state_dict: dict, params, batch_stats,

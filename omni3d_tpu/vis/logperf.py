@@ -17,7 +17,7 @@ def print_ap_category_table(per_cat: dict, cat_names: dict, title: str = ""):
 
 def print_ap_analysis_table(results: dict, title: str = "Omni3D analysis"):
     keys2d = ["AP2D", "AP2D@50", "AP2D@75"]
-    keys3d = ["AP3D", "AP3D@15", "AP3D@25", "AP3D@50", "AP3D-n", "AP3D-m", "AP3D-f"]
+    keys3d = ["AP3D", "AP3D@15", "AP3D@25", "AP3D@50", "AP3D-near", "AP3D-med", "AP3D-far"]
     rows = []
     for name, res in results.items():
         if not isinstance(res, dict):
@@ -31,11 +31,46 @@ def print_dataset_results(results: dict):
     print_ap_analysis_table(results)
 
 
+# analysis-stat suffixes sharing the "AP{2,3}D-" prefix with per-category
+# entries (size splits small/med/large; depth splits near/med/far) — no
+# Omni3D category uses these names
+STAT_SUFFIXES = frozenset({"small", "med", "large", "near", "far"})
+
+
+def _is_per_category(metric: str) -> bool:
+    for tag in ("AP2D-", "AP3D-"):
+        if metric.startswith(tag):
+            return metric[len(tag):] not in STAT_SUFFIXES
+    return False
+
+
 def print_cross_dataset_table(summary: dict, title: str = "Cross-dataset"):
     """Group `summarize_all`'s "<split>/<metric>" flat keys into one row per
-    split (Concat / Omni3D_In / Omni3D_Out) before tabulating."""
+    split (Concat / Omni3D / Omni3D_In / Omni3D_Out) before tabulating
+    (reference logperf.print_ap_omni_histogram layout)."""
     grouped: dict = {}
     for k, v in summary.items():
         split, _, metric = k.partition("/")
+        if _is_per_category(metric):
+            continue  # per-category entries get their own table
         grouped.setdefault(split, {})[metric] = v
     print_ap_analysis_table(grouped, title=title)
+
+
+def print_per_category_table(summary: dict, title: str = "<Concat> per-category"):
+    """Per-category AP2D/AP3D columns from the overall re-accumulation
+    (reference logperf.print_ap_category_histogram)."""
+    cats: dict = {}
+    for k, v in summary.items():
+        split, _, metric = k.partition("/")
+        if split != "Concat" or not _is_per_category(metric):
+            continue
+        for tag in ("AP2D-", "AP3D-"):
+            if metric.startswith(tag):
+                cats.setdefault(metric[len(tag):], {})[tag[:-1]] = v
+    if not cats:
+        return
+    rows = [[n, f"{d.get('AP2D', float('nan')):.2f}",
+             f"{d.get('AP3D', float('nan')):.2f}"]
+            for n, d in sorted(cats.items())]
+    print(title + "\n" + format_table(rows, ["category", "AP2D", "AP3D"]))

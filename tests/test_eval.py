@@ -132,8 +132,8 @@ class TestOmni3DEval:
         ev.evaluate()
         ev.accumulate()
         stats = ev.summarize()
-        assert stats["AP3D-n"] == pytest.approx(100.0, abs=0.5)
-        assert stats["AP3D-f"] == pytest.approx(100.0, abs=0.5)
+        assert stats["AP3D-near"] == pytest.approx(100.0, abs=0.5)
+        assert stats["AP3D-far"] == pytest.approx(100.0, abs=0.5)
 
     def test_proximity_mode_ignores_far_detections(self):
         gts, dts = make_gt_dt(n_images=2)
@@ -199,6 +199,70 @@ class TestHelper:
         assert Omni3DEvaluationHelper.eval_prox_for("SUNRGBD_test")
         assert Omni3DEvaluationHelper.eval_prox_for("Objectron_val")
         assert not Omni3DEvaluationHelper.eval_prox_for("KITTI_test")
+
+    @staticmethod
+    def _fake_api(gts, cat_names):
+        class FakeAPI:
+            def __init__(self):
+                self.dataset = {
+                    "annotations": gts,
+                    "categories": [{"id": i, "name": n}
+                                   for i, n in cat_names.items()],
+                }
+        return FakeAPI()
+
+    @staticmethod
+    def _register(helper, name, gts, dts, cat_names, shift):
+        anns = [{
+            "id": g["id"] + shift, "image_id": g["image_id"] + shift,
+            "category_id": g["category_id"], "bbox": g["bbox"],
+            "area": g["area"], "center_cam": [0, 0, g["depth"]],
+            "ignore": False, "bbox3D_cam": g["bbox3D"],
+        } for g in gts]
+        preds = [{**d, "id": d["id"] + shift, "image_id": d["image_id"] + shift}
+                 for d in dts]
+        helper.add_predictions(name, preds, TestHelper._fake_api(anns, cat_names))
+        helper.evaluate(name)
+
+    def test_summary_is_mean_of_per_category_aps(self):
+        """Reference semantics (:443-459): Concat AP = mean of per-category
+        APs from ONE overall re-accumulation — hand-checked against the
+        per-category values."""
+        helper = Omni3DEvaluationHelper(["A_test", "B_test"], {})
+        # dataset A: only 'car' (echo -> AP 100); B: only 'chair', degraded
+        gts_a, dts_a = make_gt_dt(cats=(1,), seed=0)
+        gts_b, dts_b = make_gt_dt(cats=(2,), seed=1, drop=2)
+        self._register(helper, "A_test", gts_a, dts_a, {1: "car"}, 0)
+        self._register(helper, "B_test", gts_b, dts_b, {2: "chair"}, 1000)
+        s = helper.summarize_all()
+
+        ap_car = s["Concat/AP2D-car"]
+        ap_chair = s["Concat/AP2D-chair"]
+        assert ap_car == pytest.approx(100.0, abs=0.5)
+        assert ap_chair < 99.0  # dropped detections -> recall gap
+        assert s["Concat/AP2D"] == pytest.approx((ap_car + ap_chair) / 2, abs=1e-6)
+        ap3_car, ap3_chair = s["Concat/AP3D-car"], s["Concat/AP3D-chair"]
+        assert s["Concat/AP3D"] == pytest.approx((ap3_car + ap3_chair) / 2, abs=1e-6)
+        # {car, chair} does not cover the omni3d_out category set -> nan
+        assert np.isnan(s["Omni3D_Out/AP2D"])
+        assert np.isnan(s["Omni3D_In/AP3D"])
+
+    def test_omni3d_out_split_when_covered(self):
+        """Out split = mean per-cat AP over get_omni3d_categories('omni3d_out')
+        once the evaluated categories cover it (reference :477-488)."""
+        from omni3d_tpu.data.builtin import get_omni3d_categories
+
+        out_cats = sorted(get_omni3d_categories("omni3d_out"))
+        ids = {i + 1: n for i, n in enumerate(out_cats)}
+        helper = Omni3DEvaluationHelper(["A_test"], {})
+        gts, dts = make_gt_dt(n_images=2, cats=tuple(ids), seed=0)
+        self._register(helper, "A_test", gts, dts, ids, 0)
+        s = helper.summarize_all()
+        assert s["Omni3D_Out/AP2D"] == pytest.approx(100.0, abs=0.5)
+        per_cat = [s[f"Concat/AP3D-{n}"] for n in out_cats]
+        assert s["Omni3D_Out/AP3D"] == pytest.approx(np.mean(per_cat), abs=1e-6)
+        # indoor categories absent -> nan
+        assert np.isnan(s["Omni3D_In/AP2D"])
 
 
 class TestNativeMatcher:

@@ -73,6 +73,8 @@ EXPECTED_LOSSES = {
 }
 
 
+@pytest.mark.heavy  # each case jit-compiles the full train step (minutes on
+# CPU); the same path is gated per-round by __graft_entry__.dryrun_multichip
 class TestTrainStep:
     def setup_method(self):
         self.cfg = tiny_cfg()

@@ -65,6 +65,9 @@ def setup(args):
     if args.opts:
         cfg.merge_from_list(args.opts)
 
+    from omni3d_tpu.config.defaults import validate_cfg
+
+    validate_cfg(cfg)
     filter_settings = data_lib.get_filter_settings_from_cfg(cfg)
     root = args.datasets_root or os.path.join("datasets", "Omni3D")
     for name in list(cfg.DATASETS.TRAIN) + list(cfg.DATASETS.TEST):
@@ -99,6 +102,72 @@ def load_weights(args, cfg, model, variables):
                 "batch_stats": tree.get("batch_stats", {})}
     # TrainState dataclass
     return {"params": tree.params, "batch_stats": tree.batch_stats}
+
+
+def make_train_init_fn(args, cfg):
+    """Training-path weight initialization, reference precedence:
+
+      1. MODEL.WEIGHTS_PRETRAIN: full-model weights, no optimizer state
+         (reference train_net.py:139-142),
+      2. --weights / MODEL.WEIGHTS: full-model load when not resuming
+         (checkpointer.resume_or_load(cfg.MODEL.WEIGHTS), train_net.py:145),
+      3. neither set: ImageNet backbone init (reference dla.py:494
+         `imagenet_pretrain = WEIGHTS_PRETRAIN + WEIGHTS == ''`,
+         resnet.py:66-96 torchvision pretrained=True).
+
+    Returns a {'params','batch_stats'} -> same callable for engine.do_train.
+    """
+    from omni3d_tpu.utils import checkpoint as ckpt_lib
+    from omni3d_tpu.utils import model_zoo
+
+    explicit = args.weights or cfg.MODEL.WEIGHTS
+    pretrain = cfg.MODEL.WEIGHTS_PRETRAIN
+
+    def load_full(variables, path):
+        if path.endswith((".pth", ".pkl")) or path.startswith("cubercnn://"):
+            sd = model_zoo.load_reference_weights(path)
+            params, stats, report = ckpt_lib.convert_reference_checkpoint(
+                sd, variables["params"], variables.get("batch_stats", {}),
+                strict=False,
+            )
+            print(f"[weights] train init from {path}: {report['loaded']} tensors"
+                  f" missing={len(report['missing'])}"
+                  f" unused={len(report['unused'])}")
+            return {"params": params, "batch_stats": stats}
+        tree, extra = ckpt_lib.load_checkpoint(path)
+        import jax
+
+        tree = jax.tree.map(np.asarray, tree)
+        print(f"[weights] train init from native checkpoint {path}")
+        if isinstance(tree, dict):
+            return {"params": tree.get("params", tree),
+                    "batch_stats": tree.get("batch_stats", {})}
+        return {"params": tree.params, "batch_stats": tree.batch_stats}
+
+    def init_fn(variables):
+        if pretrain:
+            variables = load_full(variables, pretrain)
+        if explicit:
+            variables = load_full(variables, explicit)
+        elif not pretrain:
+            path = model_zoo.find_imagenet_weights(cfg)
+            if path is None:
+                print("[weights] no ImageNet weights found "
+                      f"(TPU.IMAGENET_WEIGHTS_DIR={cfg.TPU.IMAGENET_WEIGHTS_DIR!r})"
+                      " — training the backbone from scratch")
+                return variables
+            sd = model_zoo.load_reference_weights(path)
+            params, stats, report = ckpt_lib.convert_imagenet_backbone(
+                sd, variables["params"], variables.get("batch_stats", {}),
+                cfg.MODEL.BACKBONE.NAME,
+            )
+            print(f"[weights] ImageNet backbone init from {path}: "
+                  f"{report['loaded']} tensors missing={len(report['missing'])}"
+                  f" unused={len(report['unused'])}")
+            variables = {"params": params, "batch_stats": stats}
+        return variables
+
+    return init_fn
 
 
 def main():
@@ -148,7 +217,7 @@ def main():
 
     records = get_detection_dataset_dicts(cfg.DATASETS.TRAIN,
                                           cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS)
-    mesh = make_mesh()
+    mesh = make_mesh(None if cfg.TPU.MESH_DATA <= 0 else cfg.TPU.MESH_DATA)
 
     def eval_fn(state, iteration):
         model = build_eval_model(cfg)
@@ -159,7 +228,8 @@ def main():
     state = train_with_retries(
         cfg, scfg, output_dir, resume=args.resume, max_steps=args.max_steps,
         mesh=mesh, records=records, priors=prior_params, eval_fn=eval_fn,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, seed=max(cfg.SEED, 0),
+        init_variables_fn=make_train_init_fn(args, cfg),
     )
     print("[train] finished")
     return state
