@@ -114,12 +114,17 @@ class TestFullModelConversion:
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         return model, variables
 
+    # extra backbones cost ~30-70s of model.init each on CPU; the flagship
+    # DLA + resnet runs stay in the fast gate, the rest in the heavy tier
     @pytest.mark.parametrize("backbone,extra", [
         ("build_dla_from_vision_fpn_backbone", {}),
         ("build_resnet_from_vision_fpn_backbone", {"MODEL.RESNETS.DEPTH": 34}),
-        ("build_densenet_fpn_backbone", {}),
-        ("build_mnasnet_fpn_backbone", {}),
-        ("build_shufflenet_fpn_backbone", {}),
+        pytest.param("build_densenet_fpn_backbone", {},
+                     marks=pytest.mark.heavy),
+        pytest.param("build_mnasnet_fpn_backbone", {},
+                     marks=pytest.mark.heavy),
+        pytest.param("build_shufflenet_fpn_backbone", {},
+                     marks=pytest.mark.heavy),
     ])
     def test_every_param_maps_and_loads_all_backbones(self, backbone, extra):
         cfg = get_default_cfg()
