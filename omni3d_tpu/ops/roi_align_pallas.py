@@ -7,34 +7,36 @@ making the box pooler the single most expensive stage of Cube R-CNN inference
 
 Key property of FPN level assignment: a box routed to level l satisfies
 sqrt(area)/2^l <= 28 cells, so extent_x * extent_y <= 28^2 — at most ONE axis
-can exceed a 32-cell window. Per RoI we therefore DMA TWO (PATCH, PATCH, C)
+can exceed a 32-cell window. Per RoI we therefore DMA TWO (PATCH_X, PATCH, C)
 sub-patches tiled along the box's longer axis (the second degenerates to a
-zero-weight duplicate for compact boxes), and bilinear interpolation over the
-sample grid becomes per-sub-patch matmul pairs with 1-hot-pair weight
-matrices built outside the kernel:
+zero-weight duplicate for compact boxes), and the WHOLE separable bilinear
+pooling collapses to ONE clean 2D matmul per sub-patch:
 
-    S = sum_q  Wx_q @ (Wy_q @ B_q)        (MXU work, no gathers)
+    S[py*8+px, c] = sum_{x,y} A[py*8+px, x*32+y] * B[(x,y), c]
+    A[r, x*32+y]  = wy[r//8, y] * wx[r%8, x]     (rank-1 in (y, x) per row)
 
-followed by SxS average pooling to the 7x7 output. Sub-patch DMAs are
+The pyramid is staged TRANSPOSED in HBM as 3D (rows=(img, level, x), Hp, C):
+a patch DMA lands as (PATCH_X, PATCH, C) whose outer+sublane flatten
+((x, y), C) is directly the matmul rhs — no intermediate buffer, no
+middle-dim contraction, no transpose. (An earlier two-matmul design —
+block-diagonal y-contraction then an x-contraction over the middle dim of
+the intermediate — lowered to ~64 mostly-padding MXU ops per step for the
+x side; measured ablations showed all of this one-matmul form's compute
+hides completely under the patch DMA, which is the true floor.)
+
+The A matrix is built in-kernel from compact per-box factors (wy_exp, wx_exp
+shipped as one packed (K*2*64, 128) block per step): the wy factor lands on
+the (x, y) lane grid by lane-tiling (y is lane-minor), the wx factor by one
+small shared one-hot matmul (EL[x, x*32+y] = 1). Sub-patch DMAs are
 double-buffered across the sequential grid so copy overlaps compute. HBM
-traffic: ~2 contiguous patches/RoI instead of ~784 scattered rows.
+traffic: ~2 contiguous patches/RoI instead of ~784 scattered rows; measured
+~1.3 us/RoI at bs=32x1000 RoIs (vs ~0.9 us for the bare DMA machinery and
+~2.05 us for the two-matmul design).
 
-MXU packing: a per-box (P, PATCH) x (PATCH, PATCH_X*C) matmul runs at ~5%
-MXU utilization (M=7, K=32 both pad to the 128x128 systolic tile). The
-y-contraction of all K boxes in a grid step is therefore fused into ONE
-block-diagonal matmul — lhs (K*8, K*PATCH) with box k's (P, PATCH) weight
-block on the diagonal, rhs the K patches stacked along the contraction dim —
-filling the full 128-deep contraction. The q=1 (split) matmul is predicated
-on any box in the step actually needing it. The x-contraction stays per-box
-but contracts a 2-strip (q0|q1) buffer in one dot. Net: ~34 MXU tiles per
-box instead of ~160.
-
-Layout: the pyramid is staged in HBM as 2D (rows, W*C) so a patch DMA lands
-directly in the (PATCH, PATCH_X*C) operand layout of the y-matmul — the
-(PATCH_X, C) -> PATCH_X*C lane merge would otherwise be a full VMEM relayout
-per sub-patch (sublane<->lane traffic comparable to the matmul itself). A
-2D source slice [y:y+PATCH, x*C:(x*C + PATCH_X*C)] is x-contiguous, so x
-origins need no sublane alignment and the x window shrinks to PATCH cells.
+Layout details: x origins are OUTER-dim offsets (no alignment), y origins
+sublane offsets (8-aligned via the two +4-shifted phase copies, <=3 cells
+slack); the MXU result rows r = py*8+px split freely into (py, px) sublane
+tiles, so the (P, P, C) output needs no transpose.
 
 Covers boxes up to ~62 cells on the long axis at their assigned level
 (aspect ~4.8 at the FPN envelope); rarer, longer boxes lose their outermost
@@ -193,37 +195,39 @@ def multilevel_roi_align_pallas(features, boxes, strides, out_size: int = 7,
 
 
 def stage_pyramid(features):
-    """Stack every level of every image into ONE 2D (rows, Wmax*C) buffer so
-    the kernel needs a single unconditional DMA per sub-patch (dynamic row
-    offset) instead of per-level predicated branches, and so each patch
-    arrives in the y-matmul's (PATCH, PATCH_X*C) operand layout (see module
-    docstring). Two phase copies (rows 0.., rows 4..) keep the y-DMA slack
-    under the 8-row tile alignment; 64 tail rows absorb window overreads
-    (their tap weights are zero). ~3x padded memory on the pyramid.
+    """Stack every level of every image TRANSPOSED into ONE 3D
+    (rows=(img, level, x), Hp, C) buffer: x is the outer dim (free DMA
+    offsets), y the sublane dim (8-aligned offsets via two +4-shifted phase
+    copies), c the lane dim. A patch DMA then lands as (PATCH_X, PATCH, C)
+    whose free 2D view ((x, y), C) is directly the rhs of the kernel's ONE
+    pooling matmul per box (see module docstring). Hp = max level height
+    + 2*PATCH slack so bottom-edge windows stay in bounds; 2*PATCH tail rows
+    absorb x-window overreads (zero tap weights). ~2.6x padded memory.
 
     Callers pooling the same pyramid more than once per step (box + cube
     pooler) should stage once and pass the result via `staged=`.
 
-    Returns (flat, row_off int32 (L,), rows_per_img, total_rows).
+    Returns (flat (rows, Hp, C), col_off int32 (L,), rows_per_img,
+    total_rows).
     """
     C = features[0].shape[-1]
-    Wmax = max(max(f.shape[2] for f in features), PATCH_X)
-    feats = []
-    row_off, off = [], 0
+    Hmax = max(f.shape[1] for f in features)
+    Hp = -(-Hmax // 8) * 8 + 2 * PATCH
+    cols, col_off, off = [], [], 0
     for f in features:
-        ph = -(-f.shape[1] // 8) * 8 - f.shape[1]
-        f = jnp.pad(f, ((0, 0), (0, ph), (0, Wmax - f.shape[2]), (0, 0)))
-        row_off.append(off)
-        off += f.shape[1]
-        feats.append(f)
+        ft = jnp.transpose(f, (0, 2, 1, 3))  # (B, W, H, C)
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, Hp - ft.shape[2]), (0, 0)))
+        col_off.append(off)
+        off += ft.shape[1]
+        cols.append(ft)
     rows_per_img = off
-    base = jnp.concatenate(feats, axis=1).reshape(-1, Wmax * C)  # (B*rows, Wmax*C)
+    base = jnp.concatenate(cols, axis=1).reshape(-1, Hp, C)  # (B*rows, Hp, C)
     total_rows = base.shape[0]
-    shifted = jnp.pad(base[4:], ((0, 4), (0, 0)))
+    shifted = jnp.pad(base[:, 4:, :], ((0, 0), (0, 4), (0, 0)))
     flat = jnp.concatenate(
-        [base, shifted, jnp.zeros((2 * PATCH, Wmax * C), base.dtype)], axis=0
+        [base, shifted, jnp.zeros((2 * PATCH, Hp, C), base.dtype)], axis=0
     )
-    return flat, np.asarray(row_off, np.int32), rows_per_img, total_rows
+    return flat, np.asarray(col_off, np.int32), rows_per_img, total_rows
 
 
 def multilevel_roi_align_pallas_batched(features, boxes, strides,
@@ -232,7 +236,8 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                                         min_level: int = 2,
                                         interpret: bool | None = None,
                                         out_dtype=None,
-                                        staged=None):
+                                        staged=None,
+                                        boxes_per_step: int | None = None):
     """Batched pallas ROIAlign over an FPN pyramid.
 
     NOTE: do NOT jax.vmap the single-image version — the kernel drives its own
@@ -247,6 +252,18 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         interpret = jax.default_backend() != "tpu"
     B, N = boxes.shape[:2]
     C = features[0].shape[-1]
+    if not interpret and C % 128:
+        # Mosaic rejects lane dims off the 128 grid; production FPN width is
+        # 256, so odd widths only appear in ad-hoc use — route them to the
+        # XLA-gather oracle rather than fail hardware compile.
+        from .roi_align import multilevel_roi_align
+
+        out = jax.vmap(
+            lambda fl, bx: multilevel_roi_align(
+                list(fl), bx, list(strides), out_size, sampling_ratio,
+                min_level)
+        )(list(features), boxes)
+        return out.astype(out_dtype or jnp.float32)
     P, S = out_size, sampling_ratio
     level_shapes = [f.shape[1:3] for f in features]
 
@@ -270,74 +287,76 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     wx = wx.reshape(NB, 2, P, S, PATCH_X).mean(axis=3)
     N = NB
 
-    flat, row_off, rows_per_img, total_rows = staged or stage_pyramid(features)
+    flat, col_off, rows_per_img, total_rows = staged or stage_pyramid(features)
     dtype = flat.dtype
+    Hp = flat.shape[1]
 
-    # per-box absolute row origin: phase section + img block + level offset
-    oy = (oy.reshape(NB, 2)
+    # per-box absolute outer (x) origin: phase section + img block + level
+    # column offset. _plan's oy is 8-aligned with <=3 slack (sublane dim in
+    # this layout) and ox is slack-free (outer dim, free offsets).
+    ox = (ox.reshape(NB, 2)
           + (img[:, None] * rows_per_img
-             + jnp.asarray(row_off)[lvl][:, None]
+             + jnp.asarray(col_off)[lvl][:, None]
              + phase_y[:, None] * total_rows))
-    # pack (row, x-cell) into one int32 per (box, q): rows in bits [0,18),
-    # x cell in [18,31). One scalar read replaces two, and sub-patch
+    # pack (x-row, y-sublane) into one int32 per (box, q): outer rows in bits
+    # [0,18), y in [18,31). One scalar read replaces two, and sub-patch
     # equality (the q1 test) becomes word equality.
     n_flat_rows = 2 * (rows_per_img * B) + 2 * PATCH
     assert n_flat_rows < (1 << 18), n_flat_rows
-    Wmax_cells = flat.shape[1] // C
-    assert Wmax_cells <= (1 << 13), Wmax_cells
-    pk = (oy + (ox.reshape(NB, 2) << 18)).reshape(-1)
+    assert Hp <= (1 << 13), Hp
+    pk = (ox + (oy.reshape(NB, 2) << 18)).reshape(-1)
 
     # K boxes per grid step to amortize per-step control overhead; bounded by
-    # VMEM (patch scratch = 2 slots * K * 2 sub-patches * PATCH*PATCH_X*C)
-    K = 4 if jnp.dtype(dtype).itemsize <= 2 else 2
+    # VMEM (patch scratch = 2 slots * 2 sub-patches * K * PATCH_X*PATCH*C)
+    K = boxes_per_step or (4 if jnp.dtype(dtype).itemsize <= 2 else 2)
     pad_n = (-N) % K
     if pad_n:
-        lvl = jnp.pad(lvl, (0, pad_n))
         pk = jnp.pad(pk, (0, 2 * pad_n))
         wy = jnp.pad(wy, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
     Np = N + pad_n
     n_steps = Np // K
 
-    # round the per-box output rows up to the f32 sublane tile so box k's
-    # strip of the block-diagonal result starts 8-aligned
-    P8 = -(-P // 8) * 8
-    # q1 strip origin in the 2-strip y-buffer: 16-aligned for bf16 stores
-    XPAD = -(-PATCH_X // 16) * 16
-    XW = XPAD + PATCH_X  # y-buffer width (q0 strip | q1 strip)
+    P8 = -(-P // 8) * 8  # output rows r = py*P8 + px, one sublane tile per py
 
-    # block-diagonal y-contraction weights, one (K*P8, K*PATCH) lhs per grid
-    # step and q: box k's (P, PATCH) block sits at rows k*P8, cols k*PATCH
-    wy_pad = jnp.pad(wy, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))  # (Np,2,P8,PATCH)
-    wy_g = wy_pad.reshape(n_steps, K, 2, P8, PATCH)
-    eye = jnp.eye(K, dtype=wy.dtype)
-    bd = jnp.einsum("skqpc,kj->sqkpjc", wy_g, eye).reshape(
-        n_steps, 2, K * P8, K * PATCH
-    )
-    # 2-strip x weights: [wx_q0 | 0pad | wx_q1]
-    wx_cat = jnp.zeros((Np, P, XW), wx.dtype)
-    wx_cat = wx_cat.at[:, :, :PATCH_X].set(wx[:, 0])
-    wx_cat = wx_cat.at[:, :, XPAD:XPAD + PATCH_X].set(wx[:, 1])
-
+    # expanded weight factors, shipped packed as (n_steps, K*2*P8*P8, 128):
+    # lanes [0:PATCH) hold wy_exp[r, y] = wy[r // P8, y] and lanes
+    # [PATCH:PATCH+PATCH_X) hold wx_exp[r, x] = wx[r % P8, x]; the kernel
+    # combines them into the per-box pooling matrix A (see module docstring).
+    wy8 = jnp.pad(wy, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))  # (Np,2,P8,PATCH)
+    wx8 = jnp.pad(wx, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
+    wy_exp = jnp.repeat(wy8, P8, axis=2)            # (Np,2,P8*P8,PATCH)
+    wx_exp = jnp.tile(wx8, (1, 1, P8, 1))           # (Np,2,P8*P8,PATCH_X)
+    lanes = -(-(PATCH + PATCH_X) // 128) * 128
+    wboth = jnp.concatenate(
+        [wy_exp, wx_exp,
+         jnp.zeros((Np, 2, P8 * P8, lanes - PATCH - PATCH_X), wy.dtype)], -1)
+    wboth = wboth.reshape(n_steps, K * 2 * P8 * P8, lanes)
     if jnp.dtype(dtype).itemsize <= 2:
-        bd = bd.astype(dtype)
-        wx_cat = wx_cat.astype(dtype)
+        wboth = wboth.astype(dtype)
+
+    XY = PATCH_X * PATCH  # flattened (x, y) contraction length
+
+    # shared one-hot lane expander: EL[x, x*PATCH + y] = 1 lifts the compact
+    # wx factor onto the (x, y) lane grid with one small MXU dot
+    el = np.zeros((PATCH_X, XY), np.float32)
+    for x in range(PATCH_X):
+        el[x, x * PATCH:(x + 1) * PATCH] = 1.0
+    EL = jnp.asarray(el, dtype)
 
     def kernel(*args):
         pk_ref = args[0]
         flat_ref = args[1]
-        bd_ref, wx_ref, out_ref, patch_buf, ybuf, sem_q0, sem_q1 = args[2:]
+        w_ref, el_ref, out_ref, patch_buf, sem_q0, sem_q1 = args[2:]
         i = pl.program_id(0)
         num = pl.num_programs(0)
         prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
 
         def unpack(w):
-            # row (phase+img+level folded) 8-aligned by construction; x lane
-            # offset is cell * C
-            yy = pl.multiple_of(w & ((1 << 18) - 1), 8)
-            xx = pl.multiple_of((w >> 18) * C, math.gcd(C, 128))
-            return yy, xx
+            xx = w & ((1 << 18) - 1)          # outer (x) row, free offset
+            yy = pl.multiple_of(w >> 18, 8)   # y sublane offset, 8-aligned
+            return xx, yy
 
         def start_dma(step, slot):
             for k in range(K):
@@ -345,21 +364,21 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                 w0 = pk_ref[2 * box]
                 w1 = pk_ref[2 * box + 1]
 
-                yy, xx = unpack(w0)
+                xx, yy = unpack(w0)
                 # all K q0 copies share one byte-counting semaphore; the
                 # compute side waits once for all of them
                 pltpu.make_async_copy(
-                    flat_ref.at[pl.ds(yy, PATCH), pl.ds(xx, PATCH_X * C)],
+                    flat_ref.at[pl.ds(xx, PATCH_X), pl.ds(yy, PATCH), :],
                     patch_buf.at[slot, 0, k], sem_q0.at[slot]
                 ).start()
 
-                # compact boxes skip the split sub-patch (its block in
-                # bd/wx_cat is zero; the scratch holds finite values)
+                # compact boxes skip the split sub-patch (its A block is
+                # zero; the scratch holds finite values)
                 @pl.when(w0 != w1)
                 def _():
-                    yy1, xx1 = unpack(w1)
+                    xx1, yy1 = unpack(w1)
                     pltpu.make_async_copy(
-                        flat_ref.at[pl.ds(yy1, PATCH), pl.ds(xx1, PATCH_X * C)],
+                        flat_ref.at[pl.ds(xx1, PATCH_X), pl.ds(yy1, PATCH), :],
                         patch_buf.at[slot, 1, k],
                         sem_q1.at[slot, k],
                     ).start()
@@ -368,11 +387,8 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         def _():
             # zero both slots once: skipped q1 DMAs leave their patch slot
             # untouched, and 0-weight x finite stale data is 0, but
-            # uninitialized VMEM can hold NaN/Inf bit patterns (0*NaN=NaN —
-            # the intermittent-NaN bug of record); ybuf's strip-alignment gap
-            # (cols PATCH_X..XPAD) is never written afterwards
+            # uninitialized VMEM can hold NaN/Inf bit patterns (0*NaN=NaN)
             patch_buf[...] = jnp.zeros_like(patch_buf)
-            ybuf[...] = jnp.zeros_like(ybuf)
             start_dma(0, 0)
 
         slot = jax.lax.rem(i, 2)
@@ -384,13 +400,10 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
 
         q1_here = [pk_ref[2 * (i * K + k)] != pk_ref[2 * (i * K + k) + 1]
                    for k in range(K)]
-        any_q1 = q1_here[0]
-        for k in range(1, K):
-            any_q1 = any_q1 | q1_here[k]
 
         # one merged wait for the K q0 patches (the wait amount is the byte
-        # size of the ref, so a (K, PATCH, PATCH_X*C)-shaped wait object
-        # consumes all K completions on the shared semaphore)
+        # size of the ref, so a (K, ...)-shaped wait object consumes all K
+        # completions on the shared semaphore)
         pltpu.make_async_copy(
             patch_buf.at[slot, 0], patch_buf.at[slot, 0], sem_q0.at[slot]
         ).wait()
@@ -398,59 +411,52 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
             @pl.when(q1_here[k])
             def _():
                 pltpu.make_async_copy(
-                    flat_ref.at[pl.ds(0, PATCH), pl.ds(0, PATCH_X * C)],
+                    flat_ref.at[pl.ds(0, PATCH_X), pl.ds(0, PATCH), :],
                     patch_buf.at[slot, 1, k],
                     sem_q1.at[slot, k],
                 ).wait()
 
-        # fused y-contraction: (K*P8, K*PATCH) @ (K*PATCH, PATCH_X*C); the
-        # (K, PATCH) -> K*PATCH sublane merge is layout-free (PATCH is a
-        # whole number of sublane tiles)
-        def y_pass(q):
-            pt = patch_buf[slot, q].reshape(K * PATCH, PATCH_X * C)
-            y = jax.lax.dot_general(
-                bd_ref[0, q], pt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ).astype(dtype)
-            return y.reshape(K * P8, PATCH_X, C)
-
-        ybuf[:, :PATCH_X, :] = y_pass(0)
-
-        @pl.when(any_q1)
-        def _():
-            ybuf[:, XPAD:, :] = y_pass(1)
-
-        @pl.when(jnp.logical_not(any_q1))
-        def _():
-            # stale strip-1 rows would meet nonzero wx halves of y-split
-            # boxes from other steps; keep the strip zero when unused
-            ybuf[:, XPAD:, :] = jnp.zeros((K * P8, PATCH_X, C), dtype)
-
-        # x-contraction for all K boxes in ONE batched dot — per-dot issue
-        # overhead on the scalar core is comparable to the dot itself at
-        # these shapes (measured ~0.56us per (P,XW)x(P,XW,C) issue)
-        a = ybuf[...].reshape(K, P8, XW, C)[:, :P]  # (K, P, XW, C)
-        b = jax.lax.dot_general(
-            wx_ref[...], a, (((2,), (2,)), ((0,), (0,))),
+        # build A (K*2*P8*P8, XY): A[r, x*PATCH+y] = wy_exp[r,y]*wx_exp[r,x]
+        wy_e = w_ref[0, :, :PATCH]
+        wx_e = w_ref[0, :, PATCH:PATCH + PATCH_X]
+        t1 = jnp.concatenate([wy_e] * PATCH_X, axis=1)  # [x*PATCH+y] = wy[y]
+        wxl = jax.lax.dot_general(
+            wx_e, el_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        )  # (K, P_x, P_y, C)
-        out_ref[...] = jnp.transpose(b, (0, 2, 1, 3)).astype(out_ref.dtype)
+        ).astype(dtype)                                 # [x*PATCH+y] = wx[x]
+        A = (t1 * wxl).reshape(K, 2, P8 * P8, XY)
+
+        # ONE clean 2D matmul per (box, sub-patch): the patch's free
+        # ((x, y), C) view is the rhs, A the lhs; q1 contributes exact zeros
+        # for compact boxes (its A block is zero)
+        for k in range(K):
+            pq0 = patch_buf[slot, 0, k].reshape(XY, C)
+            acc = jax.lax.dot_general(
+                A[k, 0], pq0, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            pq1 = patch_buf[slot, 1, k].reshape(XY, C)
+            acc = acc + jax.lax.dot_general(
+                A[k, 1], pq1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            r = acc.reshape(P8, P8, C)  # rows r=(py, px): free sublane split
+            out_ref[k] = r[:P, :P, :].astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, 2, K * P8, K * PATCH), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, K * 2 * P8 * P8, lanes), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, P, XW), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((PATCH_X, XY), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((K, P, P, C), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, K, PATCH, PATCH_X * C), dtype),
-            pltpu.VMEM((K * P8, XW, C), dtype),
+            pltpu.VMEM((2, 2, K, PATCH_X, PATCH, C), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, K)),
         ],
@@ -461,7 +467,8 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         out_shape=jax.ShapeDtypeStruct((Np, P, P, C), out_dtype or jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pk, flat, bd, wx_cat)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(pk, flat, wboth, EL)
     return out[:N].reshape(B, N // B, P, P, C)
 
 

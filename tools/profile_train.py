@@ -1,0 +1,147 @@
+"""Stage-level timing of the TRAINING step on the real chip.
+
+Ablation ladder (each jitted lax.scan with carry dependence, bench.py
+methodology): backbone fwd, full loss fwd, fwd+bwd with/without pooler
+gradients, full step with optimizer. Differences between rungs attribute
+wall time to the backward pieces that XLA fuses out of reach of a tracer.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timed(fn, args, n=10):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            leaves, treedef = jax.tree.flatten(args)
+            for i, leaf in enumerate(leaves):
+                if jnp.issubdtype(leaf.dtype, jnp.inexact):
+                    leaves[i] = leaf + carry.astype(leaf.dtype) * 1e-12
+                    break
+            out = fn(*jax.tree.unflatten(treedef, leaves))
+            leaf = jax.tree.leaves(out)[0]
+            return carry + leaf.ravel()[0].astype(jnp.float32) * 1e-12, ()
+
+        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    float(run(args))
+    t0 = time.perf_counter()
+    float(run(args))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from omni3d_tpu.config.cfg import StaticCfg
+    from omni3d_tpu.config.defaults import get_default_cfg
+    from omni3d_tpu.engine.train import compute_losses, create_train_state
+    from omni3d_tpu.models.rcnn3d import CubeRCNN, preprocess
+    from omni3d_tpu.solver.build import build_optimizer
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file("configs/cubercnn_DLA34_FPN.yaml")
+    scfg = StaticCfg(cfg)
+    model = CubeRCNN(cfg=scfg, train_mode=True, dtype=jnp.bfloat16)
+    tx = build_optimizer(cfg, None)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0))
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    H = W = 512
+    G = 64
+    rng = np.random.default_rng(0)
+    imgs = preprocess(
+        jnp.asarray(rng.integers(0, 255, (B, H, W, 3), dtype=np.int32)),
+        cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
+    )
+    xy = rng.uniform(0, 380, (B, G, 2)).astype(np.float32)
+    wh = rng.uniform(16, 120, (B, G, 2)).astype(np.float32)
+    batch = {
+        "images": imgs,
+        "Ks": jnp.tile(jnp.asarray([[[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]]]), (B, 1, 1)),
+        "ratios": jnp.ones(B),
+        "hw": jnp.tile(jnp.asarray([[512, 512]]), (B, 1)),
+        "gt_boxes": jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+        "gt_classes": jnp.asarray(rng.integers(0, scfg.MODEL.ROI_HEADS.NUM_CLASSES, (B, G)), jnp.int32),
+        "gt_valid": jnp.asarray(rng.random((B, G)) < 0.3),
+        "gt_boxes3D": jnp.asarray(
+            np.concatenate([
+                xy + wh / 2, rng.uniform(2, 40, (B, G, 1)), rng.uniform(0.2, 3, (B, G, 3)),
+            ], -1).astype(np.float32)),
+        "gt_poses": jnp.broadcast_to(jnp.eye(3), (B, G, 3, 3)),
+    }
+    key = jax.random.PRNGKey(1)
+    train_bn = bool(cfg.MODEL.USE_BN)
+    params, bs = state.params, state.batch_stats
+
+    print(f"B={B} backend={jax.default_backend()}", file=sys.stderr)
+
+    # 1. backbone forward alone
+    feats_fn = lambda p, im: model.apply(
+        {"params": p, "batch_stats": bs}, im,
+        method=CubeRCNN.features, mutable=["batch_stats"])[0]["p2"]
+    t = timed(feats_fn, (params, imgs))
+    print(f"backbone fwd (train BN): {t*1e3:8.2f} ms", flush=True)
+
+    # 2. full loss forward
+    def loss_fwd(p, batch):
+        total, (losses, metrics, new_bs) = compute_losses(
+            p, bs, batch, key, model, scfg, train_bn)
+        return total
+
+    t = timed(loss_fwd, (params, batch))
+    print(f"loss forward           : {t*1e3:8.2f} ms", flush=True)
+
+    # 3. forward + backward (no optimizer)
+    grad_fn = jax.grad(loss_fwd)
+    t = timed(lambda p, b: grad_fn(p, b)["backbone"]["base"]["c"]["conv"]["kernel"]
+              if False else jax.tree.leaves(grad_fn(p, b))[0],
+              (params, batch))
+    print(f"loss fwd+bwd           : {t*1e3:8.2f} ms", flush=True)
+
+    # 4. fwd+bwd with pooler gradient stopped (isolates ROIAlign backward)
+    import omni3d_tpu.engine.train as T
+    from jax import lax as jlax
+
+    def loss_fwd_nopool(p, batch):
+        import omni3d_tpu.ops.roi_align_pallas as RA
+
+        orig = RA.multilevel_roi_align_fast
+
+        def stopped(*a, **k):
+            return jlax.stop_gradient(orig(*a, **k))
+
+        RA.multilevel_roi_align_fast = stopped
+        T.multilevel_roi_align_fast = stopped
+        try:
+            total, _ = compute_losses(p, bs, batch, key, model, scfg, train_bn)
+        finally:
+            RA.multilevel_roi_align_fast = orig
+            T.multilevel_roi_align_fast = orig
+        return total
+
+    t = timed(lambda p, b: jax.tree.leaves(jax.grad(loss_fwd_nopool)(p, b))[0],
+              (params, batch))
+    print(f"fwd+bwd, pool grad off : {t*1e3:8.2f} ms", flush=True)
+
+    # 5. full train step (from bench_train): fwd+bwd+optimizer
+    from omni3d_tpu.engine.train import make_train_step
+
+    step_fn = make_train_step(scfg, model, tx)
+    t = timed(lambda s, b: step_fn(s, b, key)[1]["total_loss"], (state, batch))
+    print(f"full train step        : {t*1e3:8.2f} ms  ({B/t:7.1f} img/s)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
