@@ -74,7 +74,9 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
     P, S = out_size, sampling_ratio
     level_shapes = [f.shape[1:3] for f in features]
     dtype = features[0].dtype
-    if C % 128:  # keep lane dim on the Mosaic grid (cf. forward fallback)
+    # keep lane dim on the Mosaic grid (cf. forward fallback); interpret mode
+    # has no lane constraint, so tests exercise the kernel at any C
+    if C % 128 and not interpret:
         from .roi_align import multilevel_roi_align
 
         def pool(feats):

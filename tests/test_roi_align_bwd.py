@@ -63,3 +63,35 @@ class TestBwdKernel:
             feats, boxes, jnp.zeros_like(g), list(STRIDES), interpret=True)
         for gt in got:
             assert float(jnp.abs(gt).max()) == 0.0
+
+    def test_exact_transpose_of_pallas_forward(self):
+        """<bwd(g), f> == <g, fwd(f)> — the defining transpose identity of
+        the pair of linear maps, checked against the PALLAS forward itself
+        (not the oracle), so it holds even for boxes whose outermost taps
+        the forward's documented elongated-box routing drops."""
+        from omni3d_tpu.ops.roi_align_pallas import (
+            multilevel_roi_align_pallas_batched)
+
+        feats, boxes, g = _case(3, B=2, N=9)
+        # include elongated boxes that trigger the level bump
+        boxes = boxes.at[0, 0].set(jnp.asarray([0., 0., 255., 40.]))
+        boxes = boxes.at[1, 1].set(jnp.asarray([10., 0., 40., 250.]))
+        fwd = multilevel_roi_align_pallas_batched(
+            list(feats), boxes, STRIDES, 7, 2, interpret=True)
+        lhs = sum(
+            float(jnp.vdot(d, f))
+            for d, f in zip(
+                roi_align_bwd_pallas(feats, boxes, g, list(STRIDES),
+                                     interpret=True),
+                feats)
+        )
+        rhs = float(jnp.vdot(g, fwd))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+    def test_n_not_multiple_of_step(self):
+        """N % K != 0 exercises the per-image zero-weight padding."""
+        feats, boxes, g = _case(4, B=2, N=7)
+        got = roi_align_bwd_pallas(feats, boxes, g, list(STRIDES), interpret=True)
+        want = _ref_grads(feats, boxes, g)
+        for gt, wt in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=2e-4)
