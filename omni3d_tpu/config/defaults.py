@@ -210,7 +210,8 @@ def get_default_cfg() -> CN:
     cfg.TPU.MAX_GT_BOXES = 128              # padded GT instances per image
     cfg.TPU.NMS_CANDIDATES = 1024           # padded candidate count for class-NMS
                                             # (final detections: TEST.DETECTIONS_PER_IMAGE)
-    cfg.TPU.ROI_SAMPLING_RATIO = 2          # static ROIAlign sampling grid
+    cfg.TPU.ROI_SAMPLING_RATIO = 0          # 0 = torchvision adaptive grid
+                                            # (reference-exact); >0 = static S
     cfg.TPU.TRAIN_SIZE_BUCKETS = 4          # multi-scale train shapes bucketed to N compiles
     cfg.TPU.MESH_DATA = -1                  # data-parallel mesh size (-1 = all devices)
     cfg.TPU.REMAT_BACKBONE = False          # jax.checkpoint the backbone in training
@@ -247,8 +248,8 @@ FIXED_VALUE_KEYS = {
     "MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA": (0.0,),
     "MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG": (False,),
     "MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES": (False,),
-    # reference sampling_ratio 0 = adaptive grid; this build uses the static
-    # TPU.ROI_SAMPLING_RATIO grid (documented deviation, ops/roi_align_pallas)
+    # the poolers honor TPU.ROI_SAMPLING_RATIO (0 = adaptive, matching the
+    # reference's fixed sampling_ratio=0 exactly; see ops/roi_align.py)
     "MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO": (0,),
     "MODEL.ROI_CUBE_HEAD.NUM_CONV": (0,),
     "MODEL.ROI_CUBE_HEAD.POOLER_SAMPLING_RATIO": (0,),

@@ -12,11 +12,14 @@ Semantics match torchvision's `roi_align(..., aligned=True)`:
   * samples are bilinear with zero outside [-1, H] and edge-clamped inside,
   * bin value = mean of its samples.
 
-One deliberate deviation: torchvision's `sampling_ratio=0` chooses
-ceil(roi/bin) samples *per box* (data-dependent shapes). TPUs need static
-shapes, so we use a fixed S (default 2, the adaptive value for the canonical
-RoI scale under FPN level assignment). Differentiable (pure gather+arith, so
-JAX autodiff gives the exact VJP for free).
+`sampling_ratio=0` reproduces torchvision's adaptive grid — ceil(roi/bin)
+samples per bin-axis *per box* — under static shapes: the sample grid is
+materialized at the static bound `ADAPTIVE_SMAX` with the trailing samples
+past a box's own count carrying zero weight, so the pooled value equals
+torchvision's exactly whenever the per-axis count fits the bound (always
+true for FPN-routed boxes; see `_sample_grid_1d`). A fixed S > 0 is also
+supported. Differentiable (pure gather+arith, so JAX autodiff gives the
+exact VJP for free).
 
 Implementation notes: the sample grid of a bin is separable in y/x, so the
 (N, P, P, S, S) sample field reduces to per-box y-coords (N, P*S) and x-coords
@@ -33,17 +36,48 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _sample_coords_1d(lo, size, out_size: int, sampling_ratio: int):
-    """Sample coordinates along one axis for one box.
+# static bound on the adaptive samples-per-bin-axis. The pallas pooler's
+# level routing caps a box's extent at 2*PATCH-2 = 62 cells, so the adaptive
+# count ceil(extent/7) never exceeds 9 for any box it pools.
+ADAPTIVE_SMAX = 9
 
-    lo: scalar roi start; size: scalar roi extent. Returns (out_size*S,)
-    positions: y = lo + ph*bin + (iy+0.5)*bin/S.
+
+def _num_samples(sampling_ratio: int, smax: int = ADAPTIVE_SMAX) -> int:
+    """Static samples-per-bin-axis of the materialized grid."""
+    return sampling_ratio if sampling_ratio > 0 else smax
+
+
+def _sample_grid_1d(lo, size, out_size: int, sampling_ratio: int,
+                    smax: int = ADAPTIVE_SMAX):
+    """Sample positions + per-sample weights along one axis of one box.
+
+    lo: scalar roi start; size: scalar roi extent (feature cells).
+    sampling_ratio > 0: S fixed samples/bin at weight 1/S (static grid).
+    sampling_ratio == 0: torchvision's adaptive grid — g = ceil(size/out_size)
+      samples/bin — materialized at the static bound `smax`: samples past g
+      duplicate the last valid position with zero weight, so the weighted sum
+      equals torchvision's mean exactly whenever g <= smax (g is clamped to
+      smax beyond, degrading to a static smax grid).
+
+    Returns (pos, w), both (out_size * _num_samples(sampling_ratio),);
+    bin value = sum_i w_i * bilinear(pos_i), and the y/x axis weights
+    multiply so the 1/(gh*gw) count division is separable.
     """
     bin_sz = size / out_size
     ph = jnp.arange(out_size, dtype=lo.dtype)
-    iy = jnp.arange(sampling_ratio, dtype=lo.dtype)
-    pos = lo + ph[:, None] * bin_sz + (iy[None, :] + 0.5) * (bin_sz / sampling_ratio)
-    return pos.reshape(-1)
+    if sampling_ratio > 0:
+        S = sampling_ratio
+        iy = jnp.arange(S, dtype=lo.dtype)
+        pos = lo + ph[:, None] * bin_sz + (iy[None, :] + 0.5) * (bin_sz / S)
+        w = jnp.full((out_size * S,), 1.0 / S, lo.dtype)
+        return pos.reshape(-1), w
+    g = jnp.ceil(size / out_size).astype(jnp.int32)
+    gc = jnp.clip(g, 1, smax).astype(lo.dtype)
+    iy = jnp.minimum(jnp.arange(smax, dtype=lo.dtype), gc - 1.0)
+    pos = lo + ph[:, None] * bin_sz + (iy[None, :] + 0.5) * (bin_sz / gc)
+    w = jnp.where(jnp.arange(smax) < g, 1.0 / gc, 0.0).astype(lo.dtype)
+    w = jnp.broadcast_to(w[None, :], (out_size, smax))
+    return pos.reshape(-1), w.reshape(-1)
 
 
 def _bilinear_1d(pos, limit: int):
@@ -72,21 +106,23 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, out_size: int = 7,
       boxes: (N, 4) XYXY in input-image coordinates.
       out_size: pooled resolution P.
       spatial_scale: feature stride reciprocal.
-      sampling_ratio: static samples-per-bin axis S.
+      sampling_ratio: samples-per-bin axis S; 0 = torchvision adaptive.
       chunk: boxes per lax.map step (bounds peak memory).
 
     Returns: (N, P, P, C).
     """
     H, W, C = features.shape
     N = boxes.shape[0]
-    P, S = out_size, sampling_ratio
+    P, S = out_size, _num_samples(sampling_ratio)
     flat = features.reshape(H * W, C)
 
     def one_chunk(boxes_c):
         b = boxes_c * spatial_scale - 0.5  # aligned=True
         x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-        ys = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, P, S))(y1, y2 - y1)
-        xs = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, P, S))(x1, x2 - x1)
+        ys, wys = jax.vmap(
+            lambda lo, sz: _sample_grid_1d(lo, sz, P, sampling_ratio))(y1, y2 - y1)
+        xs, wxs = jax.vmap(
+            lambda lo, sz: _sample_grid_1d(lo, sz, P, sampling_ratio))(x1, x2 - x1)
         ylo, yhi, wy0, wy1, yin = _bilinear_1d(ys, H)  # (n, P*S)
         xlo, xhi, wx0, wx1, xin = _bilinear_1d(xs, W)
 
@@ -102,9 +138,10 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, out_size: int = 7,
             + tap(yhi, xlo, wy1, wx0)
             + tap(yhi, xhi, wy1, wx1)
         )
-        acc = acc * (yin[:, :, None] * xin[:, None, :])[..., None]
-        # (n, P, S, P, S, C) -> mean over the S x S sub-grid
-        acc = acc.reshape(-1, P, S, P, S, C).mean(axis=(2, 4))
+        # per-sample weights carry the 1/count normalization (and the
+        # adaptive tail mask); the inside mask rides along
+        acc = acc * ((yin * wys)[:, :, None] * (xin * wxs)[:, None, :])[..., None]
+        acc = acc.reshape(-1, P, S, P, S, C).sum(axis=(2, 4))
         return acc
 
     if N <= chunk:
@@ -144,7 +181,7 @@ def multilevel_roi_align(features: list, boxes: jnp.ndarray, strides: list,
     Returns: (N, P, P, C).
     """
     C = features[0].shape[-1]
-    P, S = out_size, sampling_ratio
+    P, S = out_size, _num_samples(sampling_ratio)
     n_levels = len(features)
     levels = assign_fpn_levels(boxes, min_level, min_level + n_levels - 1)
     lvl_idx = levels - min_level
@@ -169,8 +206,10 @@ def multilevel_roi_align(features: list, boxes: jnp.ndarray, strides: list,
         base = offsets[lvl_c]
         b = boxes_c * scale[:, None] - 0.5
         x1, y1 = b[:, 0], b[:, 1]
-        ys = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, P, S))(y1, b[:, 3] - y1)
-        xs = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, P, S))(x1, b[:, 2] - x1)
+        ys, wys = jax.vmap(
+            lambda lo, sz: _sample_grid_1d(lo, sz, P, sampling_ratio))(y1, b[:, 3] - y1)
+        xs, wxs = jax.vmap(
+            lambda lo, sz: _sample_grid_1d(lo, sz, P, sampling_ratio))(x1, b[:, 2] - x1)
 
         def bilinear_dyn(pos, limit):
             lim = limit[:, None].astype(pos.dtype)
@@ -198,8 +237,8 @@ def multilevel_roi_align(features: list, boxes: jnp.ndarray, strides: list,
             + tap(yhi, xlo, wy1, wx0)
             + tap(yhi, xhi, wy1, wx1)
         )
-        acc = acc * (yin[:, :, None] * xin[:, None, :])[..., None]
-        return acc.reshape(-1, P, S, P, S, C).mean(axis=(2, 4))
+        acc = acc * ((yin * wys)[:, :, None] * (xin * wxs)[:, None, :])[..., None]
+        return acc.reshape(-1, P, S, P, S, C).sum(axis=(2, 4))
 
     if N <= chunk:
         return one_chunk((boxes, lvl_idx))

@@ -111,9 +111,8 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
     phase_y = phase_y.reshape(NB)
     oy = oy_mem.reshape(NB, 2)
     ox = ox.reshape(NB, 2)
-    # fold the SxS sample average into the factors (forward does the same)
-    wy = wy.reshape(NB, 2, P, S, PATCH).mean(axis=3)
-    wx = wx.reshape(NB, 2, P, S, PATCH_X).mean(axis=3)
+    wy = wy.reshape(NB, 2, P, PATCH)   # sample-reduced in _plan
+    wx = wx.reshape(NB, 2, P, PATCH_X)
 
     # embed the forward's 32-tap y weights at their true cells inside the
     # 40-row window anchored at oy_mem: cell = oy_mem + 4*phase + i

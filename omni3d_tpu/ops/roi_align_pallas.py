@@ -57,7 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align import _sample_coords_1d, assign_fpn_levels
+from .roi_align import _num_samples, _sample_grid_1d, assign_fpn_levels
 
 PATCH = 32      # y window (free DMA offset alignment)
 PATCH_X = 32    # x window: origins are lane offsets in the 2D (rows, W*C)
@@ -113,7 +113,12 @@ def _last_tap(pos, limit):
 
 def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
     """Per-box plan: level, 2 sub-patch origins (y rows / x cells), y phase,
-    weights (2, P*S, PATCH)."""
+    sample-reduced weights wy (2, P, PATCH) / wx (2, P, PATCH_X).
+
+    sampling_ratio=0 reproduces torchvision's per-box adaptive grid exactly
+    (see roi_align._sample_grid_1d) — the adaptive count only changes the
+    per-sample weights folded in here; the tap footprint, window geometry and
+    the kernel are untouched."""
     n_levels = len(strides)
     lvl = assign_fpn_levels(boxes, min_level, min_level + n_levels - 1) - min_level
     # coverage bump: extremely elongated boxes (aspect beyond ~4.8 at the FPN
@@ -130,12 +135,12 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
     Ws = jnp.asarray([s[1] for s in level_shapes], jnp.float32)[lvl]
 
     b = boxes * scales[:, None] - 0.5
-    ys = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, out_size, sampling_ratio))(
-        b[:, 1], b[:, 3] - b[:, 1]
-    )
-    xs = jax.vmap(lambda lo, sz: _sample_coords_1d(lo, sz, out_size, sampling_ratio))(
-        b[:, 0], b[:, 2] - b[:, 0]
-    )
+    ys, wys = jax.vmap(
+        lambda lo, sz: _sample_grid_1d(lo, sz, out_size, sampling_ratio)
+    )(b[:, 1], b[:, 3] - b[:, 1])
+    xs, wxs = jax.vmap(
+        lambda lo, sz: _sample_grid_1d(lo, sz, out_size, sampling_ratio)
+    )(b[:, 0], b[:, 2] - b[:, 0])
 
     split_x = (b[:, 2] - b[:, 0]) >= (b[:, 3] - b[:, 1])
 
@@ -180,6 +185,14 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
     wx_full = wx.sum(axis=1, keepdims=True)
     wy = jnp.where(split_x[:, None, None, None], jnp.tile(wy_full, (1, 2, 1, 1)), wy)
     wx = jnp.where(split_x[:, None, None, None], wx, jnp.tile(wx_full, (1, 2, 1, 1)))
+
+    # fold the per-sample weights (1/count normalization + adaptive tail
+    # mask) and the sample-axis reduction into the weight matrices: the
+    # bilinear grid and the (weighted) mean are both linear
+    Se = _num_samples(sampling_ratio)
+    P = out_size
+    wy = (wy * wys[:, None, :, None]).reshape(-1, 2, P, Se, PATCH).sum(axis=3)
+    wx = (wx * wxs[:, None, :, None]).reshape(-1, 2, P, Se, PATCH_X).sum(axis=3)
     return (lvl.astype(jnp.int32), oy_mem.astype(jnp.int32),
             phase_y.astype(jnp.int32), ox.astype(jnp.int32), wy, wx)
 
@@ -278,13 +291,8 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     lvl = lvl.reshape(NB)
     phase_y = phase_y.reshape(NB)
     oy, ox = oy.reshape(-1), ox.reshape(-1)  # (2*NB,) interleaved per box
-    wy = wy.reshape(NB, 2, P * S, PATCH)
-    wx = wx.reshape(NB, 2, P * S, PATCH_X)
-
-    # fold the SxS average pool into the weight matrices: the bilinear sample
-    # grid and the mean are both linear, so out = (mean_S W_y) B (mean_S W_x)^T
-    wy = wy.reshape(NB, 2, P, S, PATCH).mean(axis=3)
-    wx = wx.reshape(NB, 2, P, S, PATCH_X).mean(axis=3)
+    wy = wy.reshape(NB, 2, P, PATCH)   # sample-reduced in _plan
+    wx = wx.reshape(NB, 2, P, PATCH_X)
     N = NB
 
     flat, col_off, rows_per_img, total_rows = staged or stage_pyramid(features)

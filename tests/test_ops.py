@@ -71,7 +71,8 @@ def bilinear_oracle(feat, y, x):
 
 
 def roi_align_oracle(feat, boxes, out_size, scale, sampling_ratio):
-    """torchvision roi_align(aligned=True) semantics."""
+    """torchvision roi_align(aligned=True) semantics; 0 = adaptive grid
+    (roi_bin_grid = ceil(roi_extent / pooled), per box per axis)."""
     N = len(boxes)
     C = feat.shape[-1]
     out = np.zeros((N, out_size, out_size, C))
@@ -79,15 +80,18 @@ def roi_align_oracle(feat, boxes, out_size, scale, sampling_ratio):
         x1, y1, x2, y2 = boxes[n] * scale - 0.5
         rh, rw = y2 - y1, x2 - x1
         bh, bw = rh / out_size, rw / out_size
+        gh = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rh / out_size))
+        gw = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rw / out_size))
+        count = max(gh * gw, 1)
         for ph in range(out_size):
             for pw in range(out_size):
                 acc = np.zeros(C)
-                for iy in range(sampling_ratio):
-                    yy = y1 + ph * bh + (iy + 0.5) * bh / sampling_ratio
-                    for ix in range(sampling_ratio):
-                        xx = x1 + pw * bw + (ix + 0.5) * bw / sampling_ratio
+                for iy in range(gh):
+                    yy = y1 + ph * bh + (iy + 0.5) * bh / gh
+                    for ix in range(gw):
+                        xx = x1 + pw * bw + (ix + 0.5) * bw / gw
                         acc += bilinear_oracle(feat, yy, xx)
-                out[n, ph, pw] = acc / sampling_ratio**2
+                out[n, ph, pw] = acc / count
     return out
 
 
@@ -174,6 +178,42 @@ class TestROIAlign:
         )
         expected = roi_align_oracle(feat, boxes, 7, 0.5, 2)
         np.testing.assert_allclose(out, expected, atol=1e-4)
+
+    def test_adaptive_vs_oracle(self):
+        """sampling_ratio=0: per-box adaptive grid must equal the loop oracle
+        exactly across bin sizes from <1 cell (g=1) up to g=8."""
+        rng = np.random.default_rng(4)
+        feat = rng.standard_normal((64, 64, 3)).astype(np.float32)
+        boxes = np.array(
+            [
+                [2.0, 2.0, 6.0, 6.0],        # g=1 (bin < 1 cell)
+                [0.0, 0.0, 14.0, 14.0],      # g=2
+                [5.0, 3.0, 40.0, 60.0],      # gx=5, gy=9 asymmetric... -> gy=ceil(57/7)=9
+                [1.0, 1.0, 57.0, 29.0],      # gx=8, gy=4
+                [-3.0, -3.0, 20.0, 20.0],    # negative start
+                [10.0, 10.0, 63.0, 63.0],    # near-full map
+            ],
+            np.float32,
+        )
+        out = np.asarray(
+            ra_ops.roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0, 0)
+        )
+        expected = roi_align_oracle(feat, boxes, 7, 1.0, 0)
+        np.testing.assert_allclose(out, expected, atol=1e-4)
+
+    def test_adaptive_multilevel_vs_oracle(self):
+        rng = np.random.default_rng(5)
+        feats = [
+            jnp.asarray(rng.standard_normal((64, 64, 4)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((32, 32, 4)).astype(np.float32)),
+        ]
+        strides = [4, 8]
+        xy = rng.uniform(0, 100, (10, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + 30], -1))
+        ml = ra_ops.multilevel_roi_align(feats, boxes, strides, 7, 0, min_level=2)
+        expected = roi_align_oracle(
+            np.asarray(feats[0]), np.asarray(boxes), 7, 1.0 / 4, 0)
+        np.testing.assert_allclose(np.asarray(ml), expected, atol=1e-4)
 
     def test_chunked_matches_unchunked(self):
         rng = np.random.default_rng(2)

@@ -88,6 +88,23 @@ class TestBwdKernel:
         rhs = float(jnp.vdot(g, fwd))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
+    def test_adaptive_sampling_vs_autodiff(self):
+        """sampling_ratio=0 backward must match autodiff of the adaptive
+        XLA oracle."""
+        feats, boxes, g = _case(5, B=1, N=8)
+        got = roi_align_bwd_pallas(
+            feats, boxes, g, list(STRIDES), sampling_ratio=0, interpret=True)
+
+        def pooled(fs):
+            return jax.vmap(
+                lambda fl, bx: multilevel_roi_align(
+                    list(fl), bx, list(STRIDES), 7, 0)
+            )(list(fs), boxes)
+
+        want = jax.vjp(pooled, feats)[1](g)[0]
+        for gt, wt in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=2e-4)
+
     def test_n_not_multiple_of_step(self):
         """N % K != 0 exercises the per-image zero-weight padding."""
         feats, boxes, g = _case(4, B=2, N=7)

@@ -50,6 +50,19 @@ class TestPallasVsOracle:
         want = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
+    def test_adaptive_sampling_matches_oracle(self):
+        """sampling_ratio=0 (torchvision adaptive, the reference default)
+        only reweights the plan — values must equal the XLA oracle, which is
+        itself loop-oracle-validated in test_ops."""
+        rng = np.random.default_rng(5)
+        feats = _pyramid(rng)
+        xy = rng.uniform(0, 180, (24, 2)).astype(np.float32)
+        wh = rng.uniform(4, 70, (24, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 0, interpret=True)
+        want = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
     def test_elongated_boxes_route_one_level_coarser(self):
         """Documented deviation (PARITY.md): boxes too elongated to fit two
         sub-patches at their assigned level pool from the next coarser level;
