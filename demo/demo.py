@@ -48,7 +48,8 @@ def main():
 
     from omni3d_tpu.config.cfg import StaticCfg
     from omni3d_tpu.config.defaults import get_default_cfg
-    from omni3d_tpu.data.mapper import pad_to_bucket, resize_shortest_edge
+    from omni3d_tpu.data.mapper import (pad_to_bucket, resize_image_bilinear,
+                                        resize_shortest_edge)
     from omni3d_tpu.models.rcnn3d import (CubeRCNN, inference_kwargs,
                                           inference_step, preprocess)
     from omni3d_tpu.vis.vis import (draw_2d_box, draw_bev, get_color,
@@ -88,7 +89,7 @@ def main():
         net_h, net_w = resize_shortest_edge(h, w, cfg.INPUT.MIN_SIZE_TEST,
                                             cfg.INPUT.MAX_SIZE_TEST)
         Hp, Wp = pad_to_bucket(net_h, net_w)
-        resized = cv2.resize(img, (net_w, net_h), interpolation=cv2.INTER_LINEAR)
+        resized = resize_image_bilinear(img, net_w, net_h)
         canvas = np.zeros((Hp, Wp, 3), np.uint8)
         canvas[:net_h, :net_w] = resized
 

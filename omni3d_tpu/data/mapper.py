@@ -11,13 +11,21 @@ static-shape TPU batches instead of detectron2 Instances:
   * gt_boxes3D = [u, v, z, w3d, h3d, l3d] at network resolution (the reference
     carries 9 values; the losses consume the first 6, roi_heads.py:535-537).
 
-Resize uses cv2 INTER_LINEAR (the reference uses PIL bilinear; sub-pixel
-differences are below augmentation noise).
+Resize matches the reference bit-exactly: detectron2's ResizeTransform
+resizes uint8 images through PIL `Image.resize(..., BILINEAR)` (antialiased
+on downscale), which `resize_image_bilinear` reproduces by calling PIL
+itself; cv2 INTER_LINEAR (no antialias) is the fallback only if PIL is
+unavailable.
 """
 from __future__ import annotations
 
 import cv2
 import numpy as np
+
+try:
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover
+    _PILImage = None
 
 # pose mirror matrices (reference dataset_mapper.py:63-72)
 _M1 = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
@@ -30,6 +38,17 @@ def resize_shortest_edge(h, w, short, max_size):
     if max(h, w) * scale > max_size:
         scale = max_size / max(h, w)
     return int(round(h * scale)), int(round(w * scale))
+
+
+def resize_image_bilinear(image: np.ndarray, net_w: int, net_h: int) -> np.ndarray:
+    """Resize matching detectron2 ResizeTransform.apply_image exactly:
+    uint8 goes through PIL BILINEAR (antialiased on downscale,
+    detectron2/data/transforms/transform.py)."""
+    if _PILImage is not None and image.dtype == np.uint8:
+        return np.asarray(
+            _PILImage.fromarray(image).resize((net_w, net_h), _PILImage.BILINEAR)
+        )
+    return cv2.resize(image, (net_w, net_h), interpolation=cv2.INTER_LINEAR)
 
 
 def read_image_bgr(path: str) -> np.ndarray:
@@ -60,7 +79,7 @@ class DatasetMapper3D:
                 if self.is_train else self.min_sizes[0]
         net_h, net_w = resize_shortest_edge(orig_h, orig_w, short, self.max_size)
         sx, sy = net_w / orig_w, net_h / orig_h
-        image = cv2.resize(image, (net_w, net_h), interpolation=cv2.INTER_LINEAR)
+        image = resize_image_bilinear(image, net_w, net_h)
 
         flip = bool(self.hflip and self.rng.random() < 0.5)
         if flip:

@@ -123,6 +123,24 @@ class TestMapper:
         assert pad_to_bucket(130, 250) == (256, 256)
         assert pad_to_bucket(128, 128) == (128, 128)
 
+    def test_resize_is_pil_bilinear(self):
+        """uint8 resize must match PIL BILINEAR (detectron2 ResizeTransform
+        semantics) — antialiased on downscale, unlike cv2 INTER_LINEAR."""
+        from PIL import Image
+
+        from omni3d_tpu.data.mapper import resize_image_bilinear
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        got = resize_image_bilinear(img, 32, 24)
+        want = np.asarray(Image.fromarray(img).resize((32, 24), Image.BILINEAR))
+        np.testing.assert_array_equal(got, want)
+        # and PIL's antialias filter must actually differ from plain cv2
+        import cv2
+
+        assert not np.array_equal(
+            got, cv2.resize(img, (32, 24), interpolation=cv2.INTER_LINEAR))
+
 
 class TestSamplers:
     def test_training_sampler_covers(self, synth):
