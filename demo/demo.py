@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument("--focal-length", type=float, default=0)
     p.add_argument("--principal-point", type=float, nargs=2, default=None)
     p.add_argument("--threshold", type=float, default=0.25)
+    p.add_argument("--display", action="store_true",
+                   help="show each result in a window (reference demo.py:169;"
+                        " ignored on headless systems)")
     p.add_argument("--weights", default=None)
     p.add_argument("--output-dir", default=None)
     p.add_argument("opts", nargs=argparse.REMAINDER)
@@ -139,6 +142,12 @@ def main():
             bev = draw_bev(centers, dims, poses, colors=colors)
             cv2.imwrite(os.path.join(out_dir, f"{name}_bev.jpg"), bev)
         cv2.imwrite(os.path.join(out_dir, f"{name}_boxes.jpg"), vis_img)
+        if args.display:
+            try:
+                cv2.imshow(name, vis_img)
+                cv2.waitKey(0)
+            except cv2.error:
+                print("[demo] --display unavailable (headless cv2)")
         print(f"[demo] {name}: {len(idx)} detections -> {out_dir}")
 
 

@@ -206,6 +206,19 @@ class Omni3D:
             anns = [a for a in anns if a["category_id"] in ids]
         return [a["id"] for a in anns]
 
+    def getImgIds(self, imgIds=None, catIds=None):
+        imgs = list(self.imgs.keys())
+        if imgIds is not None:
+            ids = set(imgIds if isinstance(imgIds, (list, tuple)) else [imgIds])
+            imgs = [i for i in imgs if i in ids]
+        if catIds is not None:
+            ids = set(catIds if isinstance(catIds, (list, tuple)) else [catIds])
+            keep = set()
+            for c in ids:
+                keep.update(self.catToImgs.get(c, []))
+            imgs = [i for i in imgs if i in keep]
+        return imgs
+
     def loadAnns(self, ids):
         return [self.anns[i] for i in ids]
 

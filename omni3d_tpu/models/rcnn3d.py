@@ -62,6 +62,24 @@ def build_bottom_up(cfg, train: bool, dtype):
     raise ValueError(f"Unknown backbone builder {name}")
 
 
+def build_model(cfg, train_mode: bool = False):
+    """Reference `build_model(cfg, priors)` analogue (rcnn3d.py:247-256).
+
+    Returns the flax module; parameters are created separately
+    (`model.init` / `engine.train.create_train_state(..., priors=...)`,
+    which is where the reference's `priors` argument lands in the
+    model/param split of JAX).
+    """
+    import jax.numpy as jnp
+
+    from ..config.cfg import StaticCfg
+
+    scfg = cfg if not hasattr(cfg, "clone") else StaticCfg(cfg.clone())
+    dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+             else jnp.float32)
+    return CubeRCNN(cfg=scfg, train_mode=train_mode, dtype=dtype)
+
+
 class CubeRCNN(nn.Module):
     """All Cube R-CNN parameters in one module.
 
