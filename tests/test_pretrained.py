@@ -189,6 +189,43 @@ class TestFullModelManifest:
 
 
 class TestResNetImageNet:
+    @pytest.mark.heavy
+    def test_resnet34_activation_parity(self):
+        """Converted torchvision ImageNet weights reproduce the torch
+        ResNet-34 forward on every pyramid level."""
+        from torch_resnet import TorchResNet34
+        from torch_resnet import imagenet_state_dict as resnet_sd
+
+        from omni3d_tpu.models.resnet import ResNet
+
+        model = ResNet(depth=34, train=False)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+        sd = resnet_sd(seed=4)
+        tm = TorchResNet34()
+        tm.load_state_dict({k: v for k, v in sd.items()
+                            if not k.startswith("fc.")})
+        tm.eval()
+        x = torch.randn(1, 3, 64, 64)
+        with torch.no_grad():
+            ref = {k: v.numpy().transpose(0, 2, 3, 1) for k, v in tm(x).items()}
+
+        new_p, new_s, report = ckpt.convert_imagenet_backbone(
+            sd, {"backbone": variables["params"]},
+            {"backbone": variables["batch_stats"]},
+            "build_resnet_from_vision_fpn_backbone",
+        )
+        assert not report["missing"], report["missing"][:8]
+        assert not report["unused"], report["unused"][:8]
+        out = model.apply(
+            {"params": new_p["backbone"], "batch_stats": new_s["backbone"]},
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        )
+        for k in ("p2", "p3", "p4", "p5", "p6"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), ref[k], atol=2e-4,
+                err_msg=f"level {k} diverges from torch forward")
+
     def test_resnet34_manifest(self):
         """Flax ResNet34 maps exactly onto the torchvision ImageNet keys."""
         from omni3d_tpu.models.resnet import ResNet
