@@ -213,6 +213,8 @@ def get_default_cfg() -> CN:
     cfg.TPU.ROI_SAMPLING_RATIO = 0          # 0 = torchvision adaptive grid
                                             # (reference-exact); >0 = static S
     cfg.TPU.TRAIN_SIZE_BUCKETS = 4          # multi-scale train shapes bucketed to N compiles
+    cfg.TPU.EVAL_BATCH_SIZE = 1             # eval images per step, grouped by
+                                            # padded shape (1 = reference exact)
     cfg.TPU.MESH_DATA = -1                  # data-parallel mesh size (-1 = all devices)
     cfg.TPU.REMAT_BACKBONE = False          # jax.checkpoint the backbone in training
     cfg.TPU.IMAGENET_WEIGHTS_DIR = ""       # local ImageNet .pth dir (no-egress

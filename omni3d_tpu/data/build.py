@@ -333,16 +333,40 @@ def build_detection_test_loader(cfg, dataset_name, records=None, batch_size: int
                                 process_index: int = 0, process_count: int = 1):
     """Finite generator of (batch, records) for evaluation, rank-sharded like
     detectron2 InferenceSampler (reference build.py:211-230; batch=1 default).
+
+    With batch_size > 1 (TPU.EVAL_BATCH_SIZE) records are grouped by their
+    padded network shape before batching, so every batch compiles to one of
+    the few test-bucket shapes and images pad only to their own group's
+    extent. Per-image `hw` clipping makes the predictions equivalent to the
+    batch=1 path (same detections/scores; box coords can move sub-pixel from
+    bf16 batch-layout numerics), so the default stays 1 = reference-exact.
     """
     if records is None:
         records = get_detection_dataset_dicts([dataset_name], filter_empty=False)
     mapper = DatasetMapper3D(cfg, is_train=False)
     shard = records[process_index::process_count]
 
+    if batch_size > 1:
+        groups = defaultdict(list)
+        for r in shard:
+            net_h, net_w = resize_shortest_edge(
+                r["height"], r["width"], cfg.INPUT.MIN_SIZE_TEST,
+                cfg.INPUT.MAX_SIZE_TEST)
+            groups[pad_to_bucket(net_h, net_w)].append(r)
+        chunks = [g[i:i + batch_size]
+                  for g in groups.values()
+                  for i in range(0, len(g), batch_size)]
+    else:
+        chunks = [shard[i:i + 1] for i in range(len(shard))]
+
     def gen():
-        for i in range(0, len(shard), batch_size):
-            chunk = shard[i:i + batch_size]
+        for chunk in chunks:
             samples = [mapper(r) for r in chunk]
+            if batch_size > 1 and len(samples) < batch_size:
+                # pad tail groups to the full batch shape (one compile per
+                # bucket); the duplicate rows are never read back — the
+                # consumer iterates over the real `chunk` records only
+                samples += [samples[-1]] * (batch_size - len(samples))
             yield collate_batch(samples, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD), chunk
 
     return gen(), len(shard)

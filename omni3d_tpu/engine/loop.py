@@ -79,7 +79,7 @@ def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
     per-process lists are merged with parallel.gather_objects — the
     TPU-native stand-in for `comm.gather(predictions, dst=0)` :633-639."""
     loader, n_total = data_build.build_detection_test_loader(
-        cfg, dataset_name,
+        cfg, dataset_name, batch_size=cfg.TPU.EVAL_BATCH_SIZE,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
     contig_to_dataset = {v: k for k, v in id_map.items()}

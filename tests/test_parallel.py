@@ -103,6 +103,24 @@ class TestShardedEval:
             seen += ids
         assert sorted(seen) == sorted(r["image_id"] for r in records)
 
+    def test_batched_loader_covers_all_records_once(self, synth):
+        """batch_size>1 groups by padded shape and pads tail chunks by
+        duplication; the yielded record chunks still cover every record
+        exactly once, and every batch tensor has the full batch dim."""
+        cfg = synth
+        records = build_lib.get_detection_dataset_dicts(["Synth_train"],
+                                                        filter_empty=False)
+        loader, n = build_lib.build_detection_test_loader(
+            cfg, "Synth_train", batch_size=4)
+        ids, shapes = [], set()
+        for batch, recs in loader:
+            assert batch["images"].shape[0] == 4
+            assert len(recs) <= 4
+            shapes.add(batch["images"].shape[1:3])
+            ids += [r["image_id"] for r in recs]
+        assert sorted(ids) == sorted(r["image_id"] for r in records)
+        assert n == len(records)
+
     def test_sharded_merge_equals_unsharded(self, synth):
         """Deterministic per-record 'predictions' through the real loaders:
         2-process shard + gather == the unsharded prediction list (set-wise;
