@@ -248,8 +248,12 @@ IMAGENET_PREFIXES = {
 }
 
 # ImageNet classifier heads each family carries that the detector drops
-# (reference dla.py:306-308 deletes fc.* before load_state_dict).
-_IMAGENET_HEAD_PREFIXES = ("fc.", "classifier.", "conv5.")
+# (reference dla.py:306-308 deletes fc.* before load_state_dict; the
+# detectron2-wrapped families simply never run their heads: shufflenet's
+# conv5/fc and mnasnet's 1280-ch top convs layers.14/15 — reference
+# mnasnet.py:24-38 stops at layers[0:14]).
+_IMAGENET_HEAD_PREFIXES = ("fc.", "classifier.", "conv5.",
+                           "layers.14.", "layers.15.")
 
 
 def convert_imagenet_backbone(state_dict: dict, params, batch_stats,

@@ -188,6 +188,49 @@ class TestFullModelManifest:
         assert not report["unused"], report["unused"][:8]
 
 
+class TestExtraBackboneParity:
+    """DenseNet/MNASNet/ShuffleNet: converted torchvision ImageNet weights
+    reproduce the torch forward at the reference backbone's p2..p6 split
+    points (non-circular key names from tests/torch_extra_backbones.py)."""
+
+    @pytest.mark.heavy
+    @pytest.mark.parametrize("builder,flax_cls", [
+        ("build_densenet_fpn_backbone", "DenseNet121"),
+        ("build_mnasnet_fpn_backbone", "MNASNet10"),
+        ("build_shufflenet_fpn_backbone", "ShuffleNetV2"),
+    ])
+    def test_activation_parity(self, builder, flax_cls):
+        from torch_extra_backbones import FIXTURES, imagenet_state_dict
+
+        from omni3d_tpu.models import extra_backbones as eb
+
+        model = getattr(eb, flax_cls)(train=False)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+        sd = imagenet_state_dict(builder, seed=6)
+        tm = FIXTURES[builder]()
+        tm.load_state_dict(sd)
+        tm.eval()
+        x = torch.randn(1, 3, 64, 64)
+        with torch.no_grad():
+            ref = {k: v.numpy().transpose(0, 2, 3, 1) for k, v in tm(x).items()}
+
+        new_p, new_s, report = ckpt.convert_imagenet_backbone(
+            sd, {"backbone": variables["params"]},
+            {"backbone": variables["batch_stats"]}, builder,
+        )
+        assert not report["missing"], (builder, report["missing"][:8])
+        assert not report["unused"], (builder, report["unused"][:8])
+        out = model.apply(
+            {"params": new_p["backbone"], "batch_stats": new_s["backbone"]},
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        )
+        for k in ("p2", "p3", "p4", "p5", "p6"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), ref[k], atol=2e-4,
+                err_msg=f"{builder} level {k} diverges from torch forward")
+
+
 class TestResNetImageNet:
     @pytest.mark.heavy
     def test_resnet34_activation_parity(self):
