@@ -212,7 +212,10 @@ def get_default_cfg() -> CN:
                                             # (final detections: TEST.DETECTIONS_PER_IMAGE)
     cfg.TPU.ROI_SAMPLING_RATIO = 0          # 0 = torchvision adaptive grid
                                             # (reference-exact); >0 = static S
-    cfg.TPU.TRAIN_SIZE_BUCKETS = 4          # multi-scale train shapes bucketed to N compiles
+    cfg.TPU.TRAIN_SIZE_BUCKETS = 8          # multi-scale train shapes bucketed
+                                            # to N compiles; must exceed the
+                                            # aspect-group count or every batch
+                                            # pads to its group's max scale
     cfg.TPU.EVAL_BATCH_SIZE = 1             # eval images per step, grouped by
                                             # padded shape (1 = reference exact)
     cfg.TPU.MESH_DATA = -1                  # data-parallel mesh size (-1 = all devices)

@@ -109,30 +109,6 @@ class RepeatFactorTrainingSampler:
             yield from idx
 
 
-def build_train_sampler(cfg, records, dataset_id_to_src=None, seed: int = 0):
-    """The 4 sampling modes (reference build.py:93-117)."""
-    name = cfg.DATALOADER.SAMPLER_TRAIN
-    balance = cfg.DATALOADER.BALANCE_DATASETS
-    if balance:
-        assert dataset_id_to_src is not None, "Need dataset sources."
-        weights = dataset_balance_weights(records, dataset_id_to_src)
-    if name == "TrainingSampler" and not balance:
-        return TrainingSampler(len(records), seed)
-    if name == "TrainingSampler" and balance:
-        return RepeatFactorTrainingSampler(weights, seed)
-    if name == "RepeatFactorTrainingSampler" and not balance:
-        return RepeatFactorTrainingSampler(
-            repeat_factors_from_category_frequency(records, cfg.DATALOADER.REPEAT_THRESHOLD),
-            seed,
-        )
-    if name == "RepeatFactorTrainingSampler" and balance:
-        rf = repeat_factors_from_category_frequency(records, cfg.DATALOADER.REPEAT_THRESHOLD)
-        rf = rf * weights
-        rf = rf / rf.min()
-        return RepeatFactorTrainingSampler(rf, seed)
-    raise ValueError(f"Unknown training sampler: {name}")
-
-
 class ShapeBuckets:
     """Static train-shape schedule: ≤ TPU.TRAIN_SIZE_BUCKETS padded (H, W)
     shapes covering the full multi-scale augmentation range.
@@ -218,6 +194,18 @@ class ShapeBuckets:
         return gi, s, g["shapes"][canon]
 
 
+def group_mass_weights(buckets: "ShapeBuckets", factors: np.ndarray) -> np.ndarray:
+    """Group-choice probabilities under per-group repeat-factor sampling.
+
+    The group choice must be weighted by each group's repeat-factor MASS, not
+    its record count: P(image i) = P(group) * f_i / sum_group f equals the
+    reference's global f_i / sum_all f (build.py:129-174) exactly when
+    P(group) = sum_group f / sum_all f.
+    """
+    mass = np.asarray([factors[g["indices"]].sum() for g in buckets.groups])
+    return mass / mass.sum()
+
+
 def build_detection_train_loader(cfg, records=None, dataset_id_to_src=None,
                                  process_index: int = 0, process_count: int = 1,
                                  seed: int = 0):
@@ -236,6 +224,14 @@ def build_detection_train_loader(cfg, records=None, dataset_id_to_src=None,
         records, cfg.INPUT.MIN_SIZE_TRAIN, cfg.INPUT.MAX_SIZE_TRAIN,
         cfg.TPU.TRAIN_SIZE_BUCKETS, grouping=cfg.DATALOADER.ASPECT_RATIO_GROUPING,
     )
+    if process_index == 0:
+        for gi, g in enumerate(buckets.groups):
+            print(f"[data] shape bucket group {gi}: {len(g['indices'])} imgs, "
+                  f"shorts {g['shorts']} -> shapes {sorted(set(g['shapes'].values()))}")
+            if len(g["shorts"]) == 1 and len(cfg.INPUT.MIN_SIZE_TRAIN) > 1:
+                print(f"[data] WARNING: group {gi} has ONE canonical short — "
+                      f"every batch pads to its max scale; raise "
+                      f"TPU.TRAIN_SIZE_BUCKETS (now {cfg.TPU.TRAIN_SIZE_BUCKETS})")
     mapper = DatasetMapper3D(cfg, is_train=True,
                              rng=np.random.default_rng(seed + 1 + process_index))
     local_bs = cfg.SOLVER.IMS_PER_BATCH // process_count
@@ -267,6 +263,8 @@ def build_detection_train_loader(cfg, records=None, dataset_id_to_src=None,
         return iter(TrainingSampler(len(g["indices"]), seed))
 
     samplers = [group_sampler(g) for g in buckets.groups]
+    if weighted:
+        buckets.weights = group_mass_weights(buckets, factors)
 
     n_workers = max(int(cfg.DATALOADER.NUM_WORKERS), 0)
     pool = None
@@ -314,8 +312,9 @@ def _prefetch(it, depth: int = 2):
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(_SENTINEL)
+        except BaseException as e:  # propagate to the consumer, don't swallow
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
 
@@ -324,6 +323,8 @@ def _prefetch(it, depth: int = 2):
             item = q.get()
             if item is _SENTINEL:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     return gen()

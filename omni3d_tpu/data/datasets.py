@@ -207,16 +207,17 @@ class Omni3D:
         return [a["id"] for a in anns]
 
     def getImgIds(self, imgIds=None, catIds=None):
+        # pycocotools semantics: empty/None filter = all; catIds INTERSECT
+        # (images containing every requested category)
         imgs = list(self.imgs.keys())
-        if imgIds is not None:
+        if imgIds:
             ids = set(imgIds if isinstance(imgIds, (list, tuple)) else [imgIds])
             imgs = [i for i in imgs if i in ids]
-        if catIds is not None:
-            ids = set(catIds if isinstance(catIds, (list, tuple)) else [catIds])
-            keep = set()
-            for c in ids:
-                keep.update(self.catToImgs.get(c, []))
-            imgs = [i for i in imgs if i in keep]
+        if catIds:
+            cats = catIds if isinstance(catIds, (list, tuple)) else [catIds]
+            for c in cats:
+                has = set(self.catToImgs.get(c, []))
+                imgs = [i for i in imgs if i in has]
         return imgs
 
     def loadAnns(self, ids):

@@ -436,7 +436,11 @@ class Omni3DEval:
         for k, catId in enumerate(self.params.catIds):
             s = prec[:, :, k, 0, -1]
             valid = s[s > -1]
-            out[catId] = float(np.mean(valid) * 100) if len(valid) else -1.0
+            # no valid precision entry -> NaN, matching the reference
+            # (omni3d_evaluation.py:444-446); NaN propagates visibly into
+            # the Concat/Omni3D means instead of dragging them down
+            out[catId] = (float(np.mean(valid) * 100) if len(valid)
+                          else float("nan"))
         return out
 
 

@@ -240,6 +240,51 @@ class TestShapeBuckets:
         assert len(shapes) <= 3
 
 
+class TestLoaderFixes:
+    def test_prefetch_propagates_worker_exception(self):
+        def boom():
+            yield {"ok": 1}
+            raise FileNotFoundError("missing image")
+
+        it = build_lib._prefetch(boom(), depth=2)
+        assert next(it) == {"ok": 1}
+        with pytest.raises(FileNotFoundError, match="missing image"):
+            next(it)
+
+    def test_repeat_factor_mass_weights_groups(self):
+        """Per-group repeat-factor sampling + mass-weighted group choice must
+        reproduce the reference's GLOBAL per-image distribution f_i/sum f."""
+        # two aspect groups with very different repeat-factor mass
+        recs = ([{"height": 100, "width": 300}] * 4
+                + [{"height": 300, "width": 100}] * 4)
+        sb = build_lib.ShapeBuckets(recs, [256], 4096, 2)
+        assert len(sb.groups) == 2
+        factors = np.asarray([1, 1, 1, 1, 5, 5, 5, 5], np.float64)
+        w = build_lib.group_mass_weights(sb, factors)
+        for gi, g in enumerate(sb.groups):
+            # P(group) * f_i/sum_group == f_i / sum_all for every member
+            for i in g["indices"]:
+                p = w[gi] * factors[i] / factors[g["indices"]].sum()
+                np.testing.assert_allclose(p, factors[i] / factors.sum())
+
+    def test_getimgids_coco_semantics(self, synth):
+        cfg, root, json_path, fs = synth
+        api = ds.Omni3D([json_path])
+        all_ids = api.getImgIds()
+        assert sorted(all_ids) == sorted(api.imgs.keys())
+        # empty filters = no filter (pycocotools)
+        assert api.getImgIds(imgIds=[], catIds=[]) == all_ids
+        # catIds intersect: images containing EVERY requested category
+        cat_ids = api.getCatIds()
+        if len(cat_ids) >= 2:
+            both = set(api.getImgIds(catIds=cat_ids[:2]))
+            a = {x["image_id"] for x in api.dataset["annotations"]
+                 if x["category_id"] == cat_ids[0]}
+            b = {x["image_id"] for x in api.dataset["annotations"]
+                 if x["category_id"] == cat_ids[1]}
+            assert both == (a & b)
+
+
 class TestPriors:
     def test_compute_priors(self, synth):
         from omni3d_tpu.data.datasets import Omni3D, get_filter_settings_from_cfg
