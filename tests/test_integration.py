@@ -56,6 +56,7 @@ def run_cli(args, cwd=REPO, timeout=900):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_train_then_eval_cli(synth_root, tmp_path):
     out_dir = str(tmp_path / "out")
     # 1) short training run through the real CLI
@@ -82,6 +83,7 @@ def test_train_then_eval_cli(synth_root, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_demo_cli(synth_root, tmp_path):
     out_dir = str(tmp_path / "demo_out")
     img_folder = os.path.join(synth_root, "images", "Synth_test")
