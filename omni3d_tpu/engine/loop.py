@@ -86,7 +86,9 @@ def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
     predictions = []
     next_id = 1
     t_data = t_compute = 0.0
-    t0 = time.perf_counter()
+    done = 0
+    start = t_last_log = time.perf_counter()
+    t0 = start
     for batch, records in loader:
         t_data += time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -104,6 +106,19 @@ def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
                                              contig_to_dataset, next_id)
             next_id += len(preds)
             predictions.extend(preds)
+        done += len(records)
+        now = time.perf_counter()
+        # periodic progress + ETA (reference inference_on_dataset logs
+        # data/compute s/iter + ETA every 5s, omni3d_evaluation.py:596-631);
+        # per-IMAGE seconds here since the loader batches
+        if now - t_last_log > 5.0 and done < n_total:
+            per_img = (now - start) / done
+            eta = int(per_img * (n_total - done))
+            print(f"[eval] {dataset_name}: {done}/{n_total} images  "
+                  f"data {t_data / done:.4f} s/img  "
+                  f"compute {t_compute / done:.4f} s/img  "
+                  f"total {per_img:.4f} s/img  ETA {eta // 60}m{eta % 60:02d}s")
+            t_last_log = now
         t0 = time.perf_counter()
     if storage is not None:
         storage.put_scalar(f"eval/{dataset_name}/data_s", t_data)
@@ -128,6 +143,10 @@ def do_test(cfg, model, variables, output_dir=None, storage=None,
         json_file = data_lib.metadata(name).get("json_file")
         gt_api = data_lib.Omni3D([json_file], dict(filter_settings))
         helper.add_predictions(name, preds, gt_api)
+        if jax.process_index() == 0:
+            path = helper.save_predictions(name)
+            if path:
+                print(f"[eval] saved predictions -> {path}")
         results[name] = helper.evaluate(name)
         print(f"[eval] {name}: " + "  ".join(
             f"{k}={v:.2f}" for k, v in results[name].items()
@@ -203,13 +222,19 @@ def do_train(cfg, scfg, output_dir: str, resume: bool = False,
     # (reference train_net.py:186-252 syncs 3x per step).
     skipped0 = int(state.skipped)
 
+    # each process loads IMS_PER_BATCH / process_count images; the sharded
+    # step consumes the GLOBAL batch (see parallel.globalize_batch)
+    assert cfg.SOLVER.IMS_PER_BATCH % jax.process_count() == 0, (
+        f"IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH} not divisible by "
+        f"process_count={jax.process_count()}")
+
     for iteration in range(start_iter, max_iter):
         # profile steps 10-14 (past compilation) when requested (SURVEY §5.1)
         if profile_dir and iteration == start_iter + 10:
             jax.profiler.start_trace(profile_dir)
         if profile_dir and iteration == start_iter + 15:
             jax.profiler.stop_trace()
-        batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+        batch = parallel.globalize_batch(next(loader), mesh)
         state, logs = step_fn(state, batch, rng)
 
         last = iteration == max_iter - 1

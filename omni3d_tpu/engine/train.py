@@ -266,9 +266,17 @@ def make_train_step(cfg, model: CubeRCNN, tx, mesh: Mesh | None = None,
                     stabilize: bool = True):
     """Build the jitted, sharded train step.
 
-    Returns step_fn(state, batch, rng) -> (state, logs). With a mesh, the batch
-    is sharded over the `data` axis and params/opt state are replicated — the
-    whole of DDP (SURVEY §2.4) expressed as two sharding annotations.
+    Returns step_fn(state, batch, rng) -> (state, logs). With a mesh, the
+    per-image pipeline is wrapped in `jax.shard_map` over the `data` axis:
+    each device runs value_and_grad on ITS batch shard only (so the
+    batch-sharded top_k / NMS fixpoint / dynamic-slice ops stay device-local
+    and the SPMD partitioner never inserts all-to-alls/all-gathers around
+    them), then loss/metrics/grads/batch-stats are pmean'd once. This is
+    exactly the reference's DDP contract (train_net.py:451-454, SURVEY §2.4):
+    local-batch BN (broadcast_buffers=False => per-GPU BN), per-rank loss
+    normalization, gradient all-reduce. The stabilizer + optimizer run on the
+    replicated post-pmean values, so the skip decision is all-device
+    consistent by construction.
     """
     schedule = build_lr_schedule(cfg)
     train_bn = bool(cfg.MODEL.USE_BN)
@@ -277,12 +285,33 @@ def make_train_step(cfg, model: CubeRCNN, tx, mesh: Mesh | None = None,
     TOLERANCE = 4.0  # loss-spike skip threshold (reference train_net.py:164)
     GAMMA = 0.02     # rolling-mean gain (train_net.py:166)
 
+    def local_value_and_grad(params, batch_stats, batch, rng):
+        grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
+        return grad_fn(params, batch_stats, batch, rng, model, cfg, train_bn)
+
+    if mesh is not None:
+        def sharded_value_and_grad(params, batch_stats, batch, rng):
+            # decorrelate per-device sampling RNG (anchor/proposal multinomial)
+            rng = jax.random.fold_in(rng, lax.axis_index("data"))
+            out = local_value_and_grad(params, batch_stats, batch, rng)
+            # one fused pmean = DDP grad all-reduce + the reference's
+            # loss-dict all-reduce (train_net.py:471-498); XLA's
+            # all-reduce combiner merges the per-leaf psums.
+            return jax.tree.map(lambda t: lax.pmean(t, "data"), out)
+
+        value_and_grad_fn = jax.shard_map(
+            sharded_value_and_grad, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P()), out_specs=P(),
+            check_vma=False,  # pallas_call inside; outputs pmean'd explicitly
+        )
+    else:
+        value_and_grad_fn = local_value_and_grad
+
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
-        grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
-        (total, (losses, metrics, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng, model, cfg, train_bn
+        (total, (losses, metrics, new_bs)), grads = value_and_grad_fn(
+            state.params, state.batch_stats, batch, rng
         )
 
         if stabilize_on:

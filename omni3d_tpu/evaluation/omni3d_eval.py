@@ -22,11 +22,25 @@ The matching/accumulation algorithm is the public COCO evaluation protocol
 from __future__ import annotations
 
 import copy
+import json
+import os
+import pickle
 from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _plain(v):
+    """json-serializable copy of a results dict (numpy scalars -> python)."""
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    return v
 
 from ..data.builtin import get_omni3d_categories
 from ..ops import iou3d as iou3d_ops
@@ -524,6 +538,39 @@ class Omni3DEvaluationHelper:
     def add_predictions(self, dataset_name, predictions, gt_api):
         self._predictions[dataset_name] = predictions
         self._gt_apis[dataset_name] = gt_api
+
+    def save_predictions(self, dataset_name):
+        """Persist the raw predictions for offline re-evaluation (reference
+        save_predictions, omni3d_evaluation.py:278-296 — torch.save of
+        `_predictions` to <output>/<dataset>/instances_predictions.pth; here
+        a pickle of the same COCO-style dicts, .pkl since there is no torch
+        tensor payload). No-op without an output_folder."""
+        if self.output_folder is None:
+            return None
+        folder = os.path.join(self.output_folder, dataset_name)
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(folder, "instances_predictions.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(self._predictions[dataset_name], f)
+        return path
+
+    @staticmethod
+    def load_predictions(path):
+        """Reload predictions written by save_predictions."""
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def save_results(self):
+        """Write the accumulated per-dataset + summary AP tables as json
+        under output_folder (the reference keeps these only in logs)."""
+        if self.output_folder is None:
+            return None
+        os.makedirs(self.output_folder, exist_ok=True)
+        path = os.path.join(self.output_folder, "omni3d_results.json")
+        with open(path, "w") as f:
+            json.dump({k: _plain(v) for k, v in self.results.items()}, f,
+                      indent=2, default=float)
+        return path
 
     def evaluate(self, dataset_name):
         preds = self._predictions[dataset_name]

@@ -261,14 +261,19 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     traffic when the consumer casts anyway). `staged` takes a previous
     `stage_pyramid(features)` result to share the staging between calls.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    auto = interpret is None
+    if auto:
+        interpret = not on_tpu
     B, N = boxes.shape[:2]
     C = features[0].shape[-1]
-    if not interpret and C % 128:
-        # Mosaic rejects lane dims off the 128 grid; production FPN width is
-        # 256, so odd widths only appear in ad-hoc use — route them to the
-        # XLA-gather oracle rather than fail hardware compile.
+    if (auto and not on_tpu) or (not interpret and C % 128):
+        # Two fallbacks to the XLA-gather oracle: (a) auto-dispatch off-TPU —
+        # interpret-mode pallas re-runs the grid in Python and is orders of
+        # magnitude slower than the compiled oracle (tests opt back in with
+        # interpret=True); (b) Mosaic rejects lane dims off the 128 grid;
+        # production FPN width is 256, so odd widths only appear in ad-hoc
+        # use — route them to the oracle rather than fail hardware compile.
         from .roi_align import multilevel_roi_align
 
         out = jax.vmap(

@@ -15,8 +15,9 @@ from __future__ import annotations
 import pickle
 
 import jax
+import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -26,6 +27,34 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("data",))
+
+
+def globalize_batch(batch: dict, mesh: Mesh | None, *,
+                    process_count: int | None = None,
+                    from_local_fn=None) -> dict:
+    """Turn a process-LOCAL host batch into the GLOBAL batch-sharded arrays
+    the jitted train step expects.
+
+    The reference's DDP contract makes this implicit: each rank feeds its own
+    GPU (train_net.py:178,451-454). Under SPMD jit with
+    in_shardings=P("data"), a multi-process run must instead assemble one
+    global jax.Array whose process-local shards are this host's loader slice
+    — `jax.make_array_from_process_local_data` does exactly that hop. All
+    batch leaves are batch-major, so one NamedSharding(P('data')) covers
+    every rank. Single-process: a sharded device_put (no cross-host
+    semantics needed).
+
+    `process_count`/`from_local_fn` are injectable for tests.
+    """
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    nproc = jax.process_count() if process_count is None else process_count
+    if nproc == 1:
+        return {k: jax.device_put(jnp.asarray(v), sharding)
+                for k, v in batch.items()}
+    make = from_local_fn or jax.make_array_from_process_local_data
+    return {k: make(sharding, np.asarray(v)) for k, v in batch.items()}
 
 
 def _encode(objs: list, pad_to: int) -> np.ndarray:
