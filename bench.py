@@ -94,6 +94,9 @@ def main():
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / A100_REF_IMG_S, 2),
+        "baseline_note": ("vs an ESTIMATED A100 anchor of "
+                          f"{A100_REF_IMG_S} img/s — the reference publishes "
+                          "no throughput number (BASELINE.md)"),
     }))
 
 

@@ -164,8 +164,15 @@ class ShapeBuckets:
         self.groups = []
         for k, idx in groups.items():
             b = min(budget[k], len(self.scales))
-            chunks = np.array_split(np.asarray(self.scales), b)
-            shorts = [int(c[-1]) for c in chunks if len(c)]
+            chunks = [c for c in np.array_split(np.asarray(self.scales), b)
+                      if len(c)]
+            shorts = [int(c[-1]) for c in chunks]
+            # every cell (canonical short) carries its member scales so the
+            # loader can draw a short side PER IMAGE within the cell
+            # (reference ResizeShortestEdge samples per image,
+            # dataset_mapper.py:26-28; the cell's canonical short upper-bounds
+            # members so the padded shape stays fixed)
+            cells = {int(c[-1]): [int(s) for s in c] for c in chunks}
             shapes = {}
             for s in shorts:
                 sub = hw[idx]
@@ -175,6 +182,7 @@ class ShapeBuckets:
                                           int(rs[:, 1].max()), pad_multiple)
             self.groups.append({
                 "indices": idx, "shorts": shorts, "shapes": shapes,
+                "cells": cells,
             })
 
         self.weights = np.asarray([len(g["indices"]) for g in self.groups],
@@ -185,13 +193,19 @@ class ShapeBuckets:
     def all_shapes(self):
         return sorted({s for g in self.groups for s in g["shapes"].values()})
 
-    def sample_cell(self, rng) -> tuple[int, int, tuple[int, int]]:
-        """(group index, resize short side, padded shape) for one batch."""
+    def sample_cell(self, rng) -> tuple[int, list, tuple[int, int]]:
+        """(group index, cell scale list, padded shape) for one batch.
+
+        The cell (canonical short) is drawn with probability proportional to
+        its member-scale count, so a per-image uniform draw from the returned
+        scale list keeps the per-image short-side marginal exactly uniform
+        over INPUT.MIN_SIZE_TRAIN (the reference's ResizeShortestEdge choice
+        distribution) while the padded shape stays fixed for the batch."""
         gi = int(rng.choice(len(self.groups), p=self.weights))
         g = self.groups[gi]
         s = int(self.scales[rng.integers(len(self.scales))])
         canon = next(c for c in g["shorts"] if c >= s)
-        return gi, s, g["shapes"][canon]
+        return gi, g["cells"][canon], g["shapes"][canon]
 
 
 def group_mass_weights(buckets: "ShapeBuckets", factors: np.ndarray) -> np.ndarray:
@@ -284,14 +298,20 @@ def build_detection_train_loader(cfg, records=None, dataset_id_to_src=None,
                 next(it)
         return out
 
+    # per-image short-side draws are an augmentation, not a shape decision,
+    # so they use a process-local stream (shapes stay SPMD-synced via
+    # shared_rng; reference ResizeShortestEdge samples per image)
+    scale_rng = np.random.default_rng(seed + 7919 * (process_index + 1))
+
     def gen():
         while True:
-            gi, short, shape = buckets.sample_cell(shared_rng)
+            gi, cell_scales, shape = buckets.sample_cell(shared_rng)
             g = buckets.groups[gi]
             idx = [g["indices"][i] for i in local_indices(samplers[gi])]
-            map_one = lambda i: mapper(records[i], short=short)
-            samples = list(pool.map(map_one, idx)) if pool else \
-                [map_one(i) for i in idx]
+            shorts = scale_rng.choice(cell_scales, size=len(idx))
+            map_one = lambda args: mapper(records[args[0]], short=int(args[1]))
+            samples = list(pool.map(map_one, zip(idx, shorts))) if pool else \
+                [map_one(a) for a in zip(idx, shorts)]
             yield collate_batch(samples, cfg.MODEL.PIXEL_MEAN,
                                 cfg.MODEL.PIXEL_STD, max_gt, pad_shape=shape)
 

@@ -117,7 +117,8 @@ class TestFullModelConversion:
     # extra backbones cost ~30-70s of model.init each on CPU; the flagship
     # DLA + resnet runs stay in the fast gate, the rest in the heavy tier
     @pytest.mark.parametrize("backbone,extra", [
-        ("build_dla_from_vision_fpn_backbone", {}),
+        pytest.param("build_dla_from_vision_fpn_backbone", {},
+                     marks=pytest.mark.heavy),  # 47 s full-model init
         ("build_resnet_from_vision_fpn_backbone", {"MODEL.RESNETS.DEPTH": 34}),
         pytest.param("build_densenet_fpn_backbone", {},
                      marks=pytest.mark.heavy),

@@ -209,11 +209,26 @@ class TestShapeBuckets:
         sb = build_lib.ShapeBuckets(recs, self.SCALES, 4096, 8)
         rng = np.random.default_rng(0)
         for _ in range(60):
-            gi, s, (Hp, Wp) = sb.sample_cell(rng)
-            for i in sb.groups[gi]["indices"]:
-                h, w = resize_shortest_edge(recs[i]["height"], recs[i]["width"],
-                                            s, 4096)
-                assert h <= Hp and w <= Wp
+            gi, cell_scales, (Hp, Wp) = sb.sample_cell(rng)
+            for s in cell_scales:
+                for i in sb.groups[gi]["indices"]:
+                    h, w = resize_shortest_edge(recs[i]["height"],
+                                                recs[i]["width"], s, 4096)
+                    assert h <= Hp and w <= Wp
+
+    def test_per_image_short_marginal_uniform(self):
+        """Cell draw weighted by member-scale count + uniform in-cell draw
+        => per-image short side uniform over MIN_SIZE_TRAIN (the reference
+        ResizeShortestEdge 'choice' distribution)."""
+        sb = build_lib.ShapeBuckets(self._mixed_records(), self.SCALES, 4096, 8)
+        rng = np.random.default_rng(1)
+        counts = {s: 0 for s in self.SCALES}
+        n = 4000
+        for _ in range(n):
+            _, cell_scales, _ = sb.sample_cell(rng)
+            counts[int(rng.choice(cell_scales))] += 1
+        for s, c in counts.items():
+            assert abs(c / n - 1 / len(self.SCALES)) < 0.04, (s, c / n)
 
     def test_grouping_off_single_group(self):
         sb = build_lib.ShapeBuckets(self._mixed_records(), self.SCALES, 4096,

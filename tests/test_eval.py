@@ -366,6 +366,7 @@ class TestRenderAndErrorStats:
 
 
 class TestTrainingVisualization:
+    @pytest.mark.heavy  # runs an eval-mode model pass (41 s compile on CPU)
     def test_visualize_training_sample(self, tmp_path):
         from omni3d_tpu.utils.events import EventStorage
         from omni3d_tpu.vis.vis import visualize_training_sample

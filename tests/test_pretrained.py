@@ -49,7 +49,11 @@ def resnet_imagenet_keys(depth: int) -> set:
     return set(keys)
 
 
-def cubercnn_head_state_dict(C: int, rng) -> dict:
+DLA_CH = {2: 64, 3: 128, 4: 256, 5: 512, 6: 512}
+RESNET34_CH = {2: 64, 3: 128, 4: 256, 5: 512, 6: 512}
+
+
+def cubercnn_head_state_dict(C: int, rng, ch_map=None) -> dict:
     """detectron2/cubercnn head tensors: FPN laterals/outputs (stage number =
     log2 stride), StandardRPNHead, FastRCNNConvFCHead, FastRCNNOutputLayers,
     CubeHead (reference cube_head.py:51-144), prior buffers
@@ -60,7 +64,7 @@ def cubercnn_head_state_dict(C: int, rng) -> dict:
     def t(key, *shape):
         sd[key] = rng.standard_normal(shape).astype(np.float32) * 0.05
 
-    dla_ch = {2: 64, 3: 128, 4: 256, 5: 512, 6: 512}
+    dla_ch = ch_map or DLA_CH
     for s in range(2, 7):
         t(f"backbone.fpn_lateral{s}.weight", 256, dla_ch[s], 1, 1)
         t(f"backbone.fpn_lateral{s}.bias", 256)

@@ -7,6 +7,7 @@ jax.grad of the XLA formulation except on bumped boxes.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from omni3d_tpu.ops.roi_align import multilevel_roi_align
 from omni3d_tpu.ops.roi_align_bwd_pallas import roi_align_bwd_pallas
@@ -39,6 +40,8 @@ def _case(seed, B, N, img=256, C=8):
 
 
 class TestBwdKernel:
+    @pytest.mark.heavy  # largest interpret-mode case; the transpose/adaptive
+    # cases below keep kernel coverage in the fast gate
     def test_vs_autodiff_random(self):
         feats, boxes, g = _case(0, B=2, N=13)
         got = roi_align_bwd_pallas(feats, boxes, g, list(STRIDES), interpret=True)
@@ -46,6 +49,7 @@ class TestBwdKernel:
         for gt, wt in zip(got, want):
             np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=2e-4)
 
+    @pytest.mark.heavy
     def test_edge_and_large_boxes(self):
         feats, boxes, g = _case(1, B=1, N=6)
         boxes = boxes.at[0, 0].set(jnp.asarray([0., 0., 255., 255.]))  # whole img
