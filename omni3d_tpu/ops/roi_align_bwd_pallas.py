@@ -31,11 +31,13 @@ phase copies of the accumulator are needed — the y window widens to 40.
 Window overhang past a level's extent lands on zero-weight cells (exact
 zeros added into a neighbor block or the 32-row tail).
 
-Gradient accumulation is float32 at full channel width (~46 MB block at
-512px/C=256; v5e VMEM is 128 MB, raised via vmem_limit_bytes). The matmuls
-run in the feature dtype (bf16 single-pass on the MXU in training — the
-grads are cast back to the bf16 feature dtype anyway; f32 features get
-HIGHEST, matching the forward kernel's precision rule).
+Gradient accumulation is float32 by default (~46 MB block at 512px/C=256;
+v5e VMEM is 128 MB, raised via vmem_limit_bytes); f32 features' matmuls run
+at HIGHEST, matching the forward kernel's precision rule. An `acc_dtype`
+override keeps a bf16-accumulator variant (16-aligned origins, {0, 8} shift
+folded into the weight embedding, window 40 -> 48) — measured SLOWER on v5e
+(RMW pack/unpack beats the halved bytes) but parity-tested for hardware
+where that trade flips.
 
 Reference: torchvision ROIAlign backward (CUDA atomicAdd splatting), bound
 at cubercnn/modeling/roi_heads/roi_heads.py:166-171 via the poolers
@@ -57,7 +59,7 @@ PATCH_BY = 40  # y window: forward's 32 taps + 4-row phase shift, 8-rounded
 
 def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
                          sampling_ratio: int = 2, min_level: int = 2,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None, acc_dtype=None):
     """Feature gradients of multilevel_roi_align_pallas_batched.
 
     Args:
@@ -65,6 +67,11 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         only are used).
       boxes: (B, N, 4).
       g: (B, N, P, P, C) output cotangent.
+      acc_dtype: accumulator dtype, default float32. A bf16 accumulator was
+        measured SLOWER on v5e (53.5 vs 34.5 ms at B=32 N=640): the RMW's
+        bf16 pack/unpack costs more than the halved VMEM bytes save, so f32
+        stays the default; the bf16 path is kept (and parity-tested) for
+        hardware where the trade flips.
     Returns: list of per-level gradients with `features` shapes/dtypes.
     """
     if interpret is None:
@@ -90,17 +97,29 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         (d,) = vjp(g.astype(jnp.float32))
         return [x.astype(f.dtype) for x, f in zip(d, features)]
 
+    acc_dtype = jnp.dtype(acc_dtype or jnp.float32)
+    f32_acc = acc_dtype == jnp.float32
+    # accumulator RMW alignment: f32 tiles are (8, 128) so the forward's
+    # 8-aligned oy_mem origins slice cleanly; bf16 tiles are (16, 128), so
+    # origins are re-aligned to 16 and the extra {0, 8} shift is folded into
+    # the weight embedding like the 4-row phase — the window widens 40 -> 48.
+    BY = PATCH_BY if f32_acc else 48
+    ALIGN = 8 if f32_acc else 16
+
     # transposed accumulator geometry: outer rows = levels' x cells stacked
     # (exact widths, no alignment — outer offsets are free), +32 tail rows
     # for x-window overhang; sublane dim Hp covers the tallest level's
-    # 8-aligned y origins + the 40-cell window.
+    # aligned y origins + the BY-cell window.
     xoff, off = [], 0
     for (_, w) in level_shapes:
         xoff.append(off)
         off += w
     rows_tot = off + PATCH_X
     Hmax = max(h for (h, _) in level_shapes)
-    Hp = -(-Hmax // 8) * 8 + PATCH_X
+    H8 = -(-Hmax // 8) * 8
+    # f32 keeps the original tight bound (origins <= H8 - 8, window 40);
+    # bf16 origins drop up to 8 more rows and the window is 48, 16-rounded
+    Hp = H8 + PATCH_X if f32_acc else -(-(H8 + BY + 8) // 16) * 16
 
     lvl, oy_mem, phase_y, ox, wy, wx = jax.vmap(
         lambda bx: _plan(bx, strides, level_shapes, P, S, min_level)
@@ -115,17 +134,27 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
     wx = wx.reshape(NB, 2, P, PATCH_X)
 
     # embed the forward's 32-tap y weights at their true cells inside the
-    # 40-row window anchored at oy_mem: cell = oy_mem + 4*phase + i
-    wy40 = jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (0, PATCH_BY - PATCH)))
+    # BY-row window anchored at the aligned origin:
+    #   cell = oy_aligned + 8*shift8 + 4*phase + i
+    shift8 = (oy >> 3) & (0 if f32_acc else 1)        # (NB, 2) in {0, 1}
+    oy_al = oy - (shift8 << 3)
+    # padded-shift selects fuse as elementwise ops (a per-box gather here
+    # measurably slows the XLA prep around the kernel)
     wy40 = jnp.where(
         phase_y[:, None, None, None].astype(bool),
-        jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (4, PATCH_BY - PATCH - 4))),
-        wy40,
+        jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (4, BY - PATCH - 4))),
+        jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (0, BY - PATCH))),
     )
+    if not f32_acc:
+        wy40 = jnp.where(
+            shift8[:, :, None, None].astype(bool),
+            jnp.pad(wy40[..., :BY - 8], ((0, 0), (0, 0), (0, 0), (8, 0))),
+            wy40,
+        )
 
     xx = ox + jnp.asarray(np.asarray(xoff, np.int32))[lvl][:, None]
     assert rows_tot < (1 << 18) and Hp <= (1 << 13)
-    pk = (xx + (oy << 18)).reshape(-1)  # word/q: x row [0,18), y at 18
+    pk = (xx + (oy_al << 18)).reshape(-1)  # word/q: x row [0,18), y at 18
 
     K = 4
     pad_n = (-N) % K
@@ -139,7 +168,7 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         wy40 = padN(wy40)
         wx = padN(wx)
         g = padN(g.reshape(NB, P, P, C))
-        wy40 = wy40.reshape(B * Np, 2, P, PATCH_BY)
+        wy40 = wy40.reshape(B * Np, 2, P, BY)
         wx = wx.reshape(B * Np, 2, P, PATCH_X)
     steps = Np // K
 
@@ -157,15 +186,15 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
     lanes = 128
     wboth = jnp.concatenate(
         [wy_exp, wx_exp,
-         jnp.zeros((B * Np, 2, P8 * P8, lanes - PATCH_BY - PATCH_X),
+         jnp.zeros((B * Np, 2, P8 * P8, lanes - BY - PATCH_X),
                    wy_exp.dtype)], -1)
     wboth = wboth.reshape(B, steps, K * 2 * P8 * P8, lanes).astype(dtype)
 
-    XY = PATCH_X * PATCH_BY  # flattened (x, y) window length
+    XY = PATCH_X * BY  # flattened (x, y) window length
 
     el = np.zeros((PATCH_X, XY), np.float32)
     for x in range(PATCH_X):
-        el[x, x * PATCH_BY:(x + 1) * PATCH_BY] = 1.0
+        el[x, x * BY:(x + 1) * BY] = 1.0
     EL = jnp.asarray(el, dtype)
 
     prec = (lax.Precision.HIGHEST if dtype == jnp.float32
@@ -179,9 +208,9 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        # A (K*2*P8*P8, XY): A[r, x*PATCH_BY + y] = wy_exp[r,y]*wx_exp[r,x]
-        wy_e = w_ref[0, 0, :, :PATCH_BY]
-        wx_e = w_ref[0, 0, :, PATCH_BY:PATCH_BY + PATCH_X]
+        # A (K*2*P8*P8, XY): A[r, x*BY + y] = wy_exp[r,y]*wx_exp[r,x]
+        wy_e = w_ref[0, 0, :, :BY]
+        wx_e = w_ref[0, 0, :, BY:BY + PATCH_X]
         t1 = jnp.concatenate([wy_e] * PATCH_X, axis=1)
         wxl = lax.dot_general(
             wx_e, el_ref[...], (((1,), (0,)), ((), ())),
@@ -197,15 +226,15 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
 
             def accum(word, q):
                 xc = word & ((1 << 18) - 1)
-                row = pl.multiple_of(word >> 18, 8)
+                row = pl.multiple_of(word >> 18, ALIGN)
                 dp = lax.dot_general(
                     A[k, q], G_k, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                ).reshape(PATCH_X, PATCH_BY, C)
-                cur = out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, PATCH_BY), :]
-                out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, PATCH_BY), :] = (
+                ).reshape(PATCH_X, BY, C)
+                cur = out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, BY), :]
+                out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, BY), :] = (
                     cur + dp
-                )
+                ).astype(out_ref.dtype)
 
             accum(w0, 0)
 
@@ -235,7 +264,7 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
 
     acc = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, rows_tot, Hp, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, rows_tot, Hp, C), acc_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),

@@ -209,19 +209,25 @@ def multilevel_roi_align_pallas(features, boxes, strides, out_size: int = 7,
 
 def stage_pyramid(features):
     """Stack every level of every image TRANSPOSED into ONE 3D
-    (rows=(img, level, x), Hp, C) buffer: x is the outer dim (free DMA
+    (rows=(img, phase, level, x), Hp, C) buffer: x is the outer dim (free DMA
     offsets), y the sublane dim (8-aligned offsets via two +4-shifted phase
     copies), c the lane dim. A patch DMA then lands as (PATCH_X, PATCH, C)
     whose free 2D view ((x, y), C) is directly the rhs of the kernel's ONE
     pooling matmul per box (see module docstring). Hp = max level height
-    + 2*PATCH slack so bottom-edge windows stay in bounds; 2*PATCH tail rows
-    absorb x-window overreads (zero tap weights). ~2.6x padded memory.
+    + 2*PATCH slack so bottom-edge windows stay in bounds.
+
+    The layout is IMAGE-MAJOR — each image owns one contiguous
+    rows_blk = 2*rows_per_img + PATCH_X slice holding [phase-0 rows |
+    phase-1 rows | zero tail] — so one image's whole staged pyramid is a
+    single block the plane-resident kernel keeps in VMEM; the tail absorbs
+    x-window overreads (zero tap weights; phase-0 overreads land in phase-1
+    rows, also zero-weight). ~2.3x padded memory.
 
     Callers pooling the same pyramid more than once per step (box + cube
     pooler) should stage once and pass the result via `staged=`.
 
-    Returns (flat (rows, Hp, C), col_off int32 (L,), rows_per_img,
-    total_rows).
+    Returns (flat (B*rows_blk, Hp, C), col_off int32 (L,), rows_per_img,
+    rows_blk).
     """
     C = features[0].shape[-1]
     Hmax = max(f.shape[1] for f in features)
@@ -234,13 +240,15 @@ def stage_pyramid(features):
         off += ft.shape[1]
         cols.append(ft)
     rows_per_img = off
-    base = jnp.concatenate(cols, axis=1).reshape(-1, Hp, C)  # (B*rows, Hp, C)
-    total_rows = base.shape[0]
-    shifted = jnp.pad(base[:, 4:, :], ((0, 0), (0, 4), (0, 0)))
+    base = jnp.concatenate(cols, axis=1)  # (B, rows_per_img, Hp, C)
+    B = base.shape[0]
+    shifted = jnp.pad(base[:, :, 4:, :], ((0, 0), (0, 0), (0, 4), (0, 0)))
     flat = jnp.concatenate(
-        [base, shifted, jnp.zeros((2 * PATCH, Hp, C), base.dtype)], axis=0
+        [base, shifted, jnp.zeros((B, PATCH_X, Hp, C), base.dtype)], axis=1
     )
-    return flat, np.asarray(col_off, np.int32), rows_per_img, total_rows
+    rows_blk = flat.shape[1]
+    return (flat.reshape(B * rows_blk, Hp, C), np.asarray(col_off, np.int32),
+            rows_per_img, rows_blk)
 
 
 def multilevel_roi_align_pallas_batched(features, boxes, strides,
@@ -300,21 +308,22 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     wx = wx.reshape(NB, 2, P, PATCH_X)
     N = NB
 
-    flat, col_off, rows_per_img, total_rows = staged or stage_pyramid(features)
+    flat, col_off, rows_per_img, rows_blk = staged or stage_pyramid(features)
     dtype = flat.dtype
     Hp = flat.shape[1]
 
-    # per-box absolute outer (x) origin: phase section + img block + level
-    # column offset. _plan's oy is 8-aligned with <=3 slack (sublane dim in
-    # this layout) and ox is slack-free (outer dim, free offsets).
+    # per-box absolute outer (x) origin: img block + phase section + level
+    # column offset (image-major staging). _plan's oy is 8-aligned with <=3
+    # slack (sublane dim in this layout) and ox is slack-free (outer dim,
+    # free offsets).
     ox = (ox.reshape(NB, 2)
-          + (img[:, None] * rows_per_img
+          + (img[:, None] * rows_blk
              + jnp.asarray(col_off)[lvl][:, None]
-             + phase_y[:, None] * total_rows))
+             + phase_y[:, None] * rows_per_img))
     # pack (x-row, y-sublane) into one int32 per (box, q): outer rows in bits
     # [0,18), y in [18,31). One scalar read replaces two, and sub-patch
     # equality (the q1 test) becomes word equality.
-    n_flat_rows = 2 * (rows_per_img * B) + 2 * PATCH
+    n_flat_rows = rows_blk * B
     assert n_flat_rows < (1 << 18), n_flat_rows
     assert Hp <= (1 << 13), Hp
     pk = (ox + (oy.reshape(NB, 2) << 18)).reshape(-1)

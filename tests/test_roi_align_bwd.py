@@ -116,3 +116,24 @@ class TestBwdKernel:
         want = _ref_grads(feats, boxes, g)
         for gt, wt in zip(got, want):
             np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=2e-4)
+
+    def test_bf16_accumulator_matches_f32(self):
+        """The bf16-accumulator path (16-aligned origins, 48-row window)
+        transposes the same linear map: vs forced-f32 accumulation the
+        difference is bounded by bf16 rounding of the accumulated grads."""
+        feats, boxes, g = _case(5, B=1, N=9)
+        feats = tuple(f.astype(jnp.bfloat16) for f in feats)
+        g = g.astype(jnp.bfloat16)
+        got = roi_align_bwd_pallas(feats, boxes, g, list(STRIDES),
+                                   interpret=True, acc_dtype=jnp.bfloat16)
+        want = roi_align_bwd_pallas(feats, boxes, g, list(STRIDES),
+                                    interpret=True, acc_dtype=jnp.float32)
+        for gt, wt in zip(got, want):
+            gt = np.asarray(gt, np.float32)
+            wt = np.asarray(wt, np.float32)
+            # bf16 rounding error is relative to the largest accumulated
+            # contribution (cancelled cells keep ULP-scale residue); a
+            # placement bug would show diffs at the magnitude of wt itself
+            tol = np.abs(wt).max() * 2 ** -6 + 2 ** -10
+            assert np.abs(gt - wt).max() <= tol, (
+                float(np.abs(gt - wt).max()), float(np.abs(wt).max()))

@@ -21,12 +21,16 @@ def timed(fn, args, n=10):
     @jax.jit
     def run(args):
         def body(carry, _):
-            leaves, treedef = jax.tree.flatten(args)
-            for i, leaf in enumerate(leaves):
-                if jnp.issubdtype(leaf.dtype, jnp.inexact):
-                    leaves[i] = leaf + carry.astype(leaf.dtype) * 1e-12
-                    break
-            out = fn(*jax.tree.unflatten(treedef, leaves))
+            # perturb EVERY inexact leaf: with only one perturbed leaf XLA
+            # hoists all compute not downstream of it out of the scan and
+            # the rung under-reports (observed 2x vs the threaded-state
+            # bench_train methodology)
+            perturbed = jax.tree.map(
+                lambda leaf: leaf + carry.astype(leaf.dtype) * 1e-12
+                if jnp.issubdtype(leaf.dtype, jnp.inexact) else leaf,
+                args,
+            )
+            out = fn(*perturbed)
             leaf = jax.tree.leaves(out)[0]
             return carry + leaf.ravel()[0].astype(jnp.float32) * 1e-12, ()
 
@@ -102,11 +106,15 @@ def main():
     t = timed(loss_fwd, (params, batch))
     print(f"loss forward           : {t*1e3:8.2f} ms", flush=True)
 
+    # every weight-grad must be consumed or XLA DCEs its matmul and the
+    # rung under-reports (grad leaf0 alone keeps only the dgrad chain)
+    def _consume(tree):
+        return sum(leaf.ravel()[0].astype(jnp.float32)
+                   for leaf in jax.tree.leaves(tree))
+
     # 3. forward + backward (no optimizer)
     grad_fn = jax.grad(loss_fwd)
-    t = timed(lambda p, b: grad_fn(p, b)["backbone"]["base"]["c"]["conv"]["kernel"]
-              if False else jax.tree.leaves(grad_fn(p, b))[0],
-              (params, batch))
+    t = timed(lambda p, b: _consume(grad_fn(p, b)), (params, batch))
     print(f"loss fwd+bwd           : {t*1e3:8.2f} ms", flush=True)
 
     # 4. fwd+bwd with pooler gradient stopped (isolates ROIAlign backward)
@@ -130,7 +138,7 @@ def main():
             T.multilevel_roi_align_fast = orig
         return total
 
-    t = timed(lambda p, b: jax.tree.leaves(jax.grad(loss_fwd_nopool)(p, b))[0],
+    t = timed(lambda p, b: _consume(jax.grad(loss_fwd_nopool)(p, b)),
               (params, batch))
     print(f"fwd+bwd, pool grad off : {t*1e3:8.2f} ms", flush=True)
 
@@ -138,7 +146,16 @@ def main():
     from omni3d_tpu.engine.train import make_train_step
 
     step_fn = make_train_step(scfg, model, tx)
-    t = timed(lambda s, b: step_fn(s, b, key)[1]["total_loss"], (state, batch))
+
+    def full_step(s, b):
+        # consume the UPDATED params, not just the loss: the loss alone
+        # depends only on the forward, and XLA DCEs the whole backward
+        # (observed: "full step" == "loss forward" to 0.2 ms)
+        new_state, logs = step_fn(s, b, key)
+        return (logs["total_loss"]
+                + jax.tree.leaves(new_state.params)[0].ravel()[0])
+
+    t = timed(full_step, (state, batch))
     print(f"full train step        : {t*1e3:8.2f} ms  ({B/t:7.1f} img/s)",
           flush=True)
 
