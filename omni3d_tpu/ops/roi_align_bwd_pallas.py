@@ -4,40 +4,35 @@ The XLA autodiff transpose of the gather-based pooler is a row scatter-add —
 ~6M near-serial updates for one training step; XLA serializes the
 overlapping-window read-modify-writes. This kernel accumulates instead in
 VMEM, as the EXACT transpose of the pallas forward's one-matmul design
-(roi_align_pallas.py): it reuses the forward's per-box plan (level routing,
-sub-patch origins, phase, bilinear weight factors), so the VJP transposes
-precisely the linear map the forward applies — including the forward's
-documented elongated-box truncation.
+(roi_align_pallas.py): it reuses the forward's per-box windowed plan (level
+routing, align-rounded sub-window origins, bilinear weight factors), so the
+VJP transposes precisely the linear map the forward applies — including the
+forward's documented elongated-box truncation.
 
   grid (image, box-step); the out block — one image's TRANSPOSED gradient
   plane (rows=(level, x), Hp=y, C) — is revisited across the box steps, so
   the pallas pipeline keeps it resident in VMEM and flushes it to HBM when
-  the image index changes. Per (box, sub-patch) the transposed pooling is
+  the image index changes. Per (box, sub-window) the transposed pooling is
   ONE matmul
 
-      dP[(x, y), c] = sum_r A[r, x*PATCH_BY + y] * G[r, c]
+      dP[(x, y), c] = sum_r A[r, x*BY + y] * G[r, c]
 
   with the SAME pooling matrix A the forward builds (wy factor lane-tiled,
   wx factor lifted by a one-hot expander), followed by a read-modify-write
-  of the (PATCH_X, PATCH_BY, C) window at the box's origin. The sequential
-  grid makes overlapping-window RMW race-free by construction — the thing
-  neither XLA scatter path can exploit.
+  of the (PATCH_X, BY, C) window at the box's origin. The sequential grid
+  makes overlapping-window RMW race-free by construction — the thing
+  neither XLA scatter path can exploit. Window overhang past a level's
+  extent lands on zero-weight cells (exact zeros added into a neighbor
+  block or the 32-row tail).
 
-Window geometry transposes the forward exactly: x origins are free outer-dim
-offsets (32-cell windows, identical to the forward's); y origins are the
-forward's 8-aligned `oy_mem` rows, with the forward's 4-row phase shift
-folded into the weight embedding (wy40[.., 4*phase + i] = wy32[.., i]) so no
-phase copies of the accumulator are needed — the y window widens to 40.
-Window overhang past a level's extent lands on zero-weight cells (exact
-zeros added into a neighbor block or the 32-row tail).
-
-Gradient accumulation is float32 by default (~46 MB block at 512px/C=256;
+Gradient accumulation is float32 by default (f32 sublane tile 8 -> the
+plan's 8-aligned 40-row windows RMW cleanly; ~44 MB block at 512px/C=256;
 v5e VMEM is 128 MB, raised via vmem_limit_bytes); f32 features' matmuls run
 at HIGHEST, matching the forward kernel's precision rule. An `acc_dtype`
-override keeps a bf16-accumulator variant (16-aligned origins, {0, 8} shift
-folded into the weight embedding, window 40 -> 48) — measured SLOWER on v5e
-(RMW pack/unpack beats the halved bytes) but parity-tested for hardware
-where that trade flips.
+override keeps a bf16-accumulator variant (16-aligned origins, 48-row
+windows, the same geometry the resident forward uses for bf16) — measured
+SLOWER on v5e (the RMW's bf16 pack/unpack costs more than the halved VMEM
+bytes save) but parity-tested for hardware where that trade flips.
 
 Reference: torchvision ROIAlign backward (CUDA atomicAdd splatting), bound
 at cubercnn/modeling/roi_heads/roi_heads.py:166-171 via the poolers
@@ -52,9 +47,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align_pallas import PATCH, PATCH_X, _plan
-
-PATCH_BY = 40  # y window: forward's 32 taps + 4-row phase shift, 8-rounded
+from .roi_align_pallas import (PATCH_X, _build_A, _expand_pack,
+                               _one_hot_expander, _plan, _window_geom,
+                               staging_extent)
 
 
 def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
@@ -98,63 +93,27 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         return [x.astype(f.dtype) for x, f in zip(d, features)]
 
     acc_dtype = jnp.dtype(acc_dtype or jnp.float32)
-    f32_acc = acc_dtype == jnp.float32
-    # accumulator RMW alignment: f32 tiles are (8, 128) so the forward's
-    # 8-aligned oy_mem origins slice cleanly; bf16 tiles are (16, 128), so
-    # origins are re-aligned to 16 and the extra {0, 8} shift is folded into
-    # the weight embedding like the 4-row phase — the window widens 40 -> 48.
-    BY = PATCH_BY if f32_acc else 48
-    ALIGN = 8 if f32_acc else 16
+    # accumulator RMW alignment follows the ACC dtype's sublane tile: f32
+    # tiles are (8, 128) -> the plan's 8-aligned origins slice cleanly with
+    # 40-row windows; a bf16 accumulator needs 16-aligned origins and
+    # 48-row windows (same geometry as the resident forward for bf16)
+    BY, ALIGN = _window_geom(acc_dtype)
+    xoff, _, rows_tot, Hp = staging_extent(level_shapes, BY)
 
-    # transposed accumulator geometry: outer rows = levels' x cells stacked
-    # (exact widths, no alignment — outer offsets are free), +32 tail rows
-    # for x-window overhang; sublane dim Hp covers the tallest level's
-    # aligned y origins + the BY-cell window.
-    xoff, off = [], 0
-    for (_, w) in level_shapes:
-        xoff.append(off)
-        off += w
-    rows_tot = off + PATCH_X
-    Hmax = max(h for (h, _) in level_shapes)
-    H8 = -(-Hmax // 8) * 8
-    # f32 keeps the original tight bound (origins <= H8 - 8, window 40);
-    # bf16 origins drop up to 8 more rows and the window is 48, 16-rounded
-    Hp = H8 + PATCH_X if f32_acc else -(-(H8 + BY + 8) // 16) * 16
-
-    lvl, oy_mem, phase_y, ox, wy, wx = jax.vmap(
-        lambda bx: _plan(bx, strides, level_shapes, P, S, min_level)
+    lvl, oy, ox, wy, wx = jax.vmap(
+        lambda bx: _plan(bx, strides, level_shapes, P, S, min_level, BY, ALIGN)
     )(boxes)
 
     NB = B * N
     lvl = lvl.reshape(NB)
-    phase_y = phase_y.reshape(NB)
-    oy = oy_mem.reshape(NB, 2)
+    oy = oy.reshape(NB, 2)
     ox = ox.reshape(NB, 2)
-    wy = wy.reshape(NB, 2, P, PATCH)   # sample-reduced in _plan
+    wy = wy.reshape(NB, 2, P, BY)   # sample-reduced in _plan
     wx = wx.reshape(NB, 2, P, PATCH_X)
 
-    # embed the forward's 32-tap y weights at their true cells inside the
-    # BY-row window anchored at the aligned origin:
-    #   cell = oy_aligned + 8*shift8 + 4*phase + i
-    shift8 = (oy >> 3) & (0 if f32_acc else 1)        # (NB, 2) in {0, 1}
-    oy_al = oy - (shift8 << 3)
-    # padded-shift selects fuse as elementwise ops (a per-box gather here
-    # measurably slows the XLA prep around the kernel)
-    wy40 = jnp.where(
-        phase_y[:, None, None, None].astype(bool),
-        jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (4, BY - PATCH - 4))),
-        jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (0, BY - PATCH))),
-    )
-    if not f32_acc:
-        wy40 = jnp.where(
-            shift8[:, :, None, None].astype(bool),
-            jnp.pad(wy40[..., :BY - 8], ((0, 0), (0, 0), (0, 0), (8, 0))),
-            wy40,
-        )
-
-    xx = ox + jnp.asarray(np.asarray(xoff, np.int32))[lvl][:, None]
+    xx = ox + jnp.asarray(xoff)[lvl][:, None]
     assert rows_tot < (1 << 18) and Hp <= (1 << 13)
-    pk = (xx + (oy_al << 18)).reshape(-1)  # word/q: x row [0,18), y at 18
+    pk = (xx + (oy << 18)).reshape(-1)  # word/q: x row [0,18), y at 18
 
     K = 4
     pad_n = (-N) % K
@@ -165,11 +124,9 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
             pw = [(0, 0), (0, pad_n)] + [(0, 0)] * (t.ndim - 2)
             return jnp.pad(t, pw)
         pk = padN(pk.reshape(NB, 2)).reshape(-1)
-        wy40 = padN(wy40)
-        wx = padN(wx)
+        wy = padN(wy).reshape(B * Np, 2, P, BY)
+        wx = padN(wx).reshape(B * Np, 2, P, PATCH_X)
         g = padN(g.reshape(NB, P, P, C))
-        wy40 = wy40.reshape(B * Np, 2, P, BY)
-        wx = wx.reshape(B * Np, 2, P, PATCH_X)
     steps = Np // K
 
     P8 = -(-P // 8) * 8
@@ -177,25 +134,11 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
                  ((0, 0), (0, 0), (0, 0), (0, P8 - P), (0, P8 - P), (0, 0))
                  ).astype(dtype)
 
-    # packed per-box factors, (B, steps, K*2*P8*P8, 128): lanes [0:40) hold
-    # wy_exp[r, y] = wy40[r // P8, y], lanes [40:72) wx_exp[r, x]
-    wy8 = jnp.pad(wy40, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
-    wx8 = jnp.pad(wx, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
-    wy_exp = jnp.repeat(wy8, P8, axis=2)
-    wx_exp = jnp.tile(wx8, (1, 1, P8, 1))
-    lanes = 128
-    wboth = jnp.concatenate(
-        [wy_exp, wx_exp,
-         jnp.zeros((B * Np, 2, P8 * P8, lanes - BY - PATCH_X),
-                   wy_exp.dtype)], -1)
+    wboth, lanes = _expand_pack(wy, wx, BY, P, K, dtype)
     wboth = wboth.reshape(B, steps, K * 2 * P8 * P8, lanes).astype(dtype)
 
     XY = PATCH_X * BY  # flattened (x, y) window length
-
-    el = np.zeros((PATCH_X, XY), np.float32)
-    for x in range(PATCH_X):
-        el[x, x * BY:(x + 1) * BY] = 1.0
-    EL = jnp.asarray(el, dtype)
+    EL = _one_hot_expander(BY, dtype)
 
     prec = (lax.Precision.HIGHEST if dtype == jnp.float32
             else lax.Precision.DEFAULT)
@@ -208,15 +151,7 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        # A (K*2*P8*P8, XY): A[r, x*BY + y] = wy_exp[r,y]*wx_exp[r,x]
-        wy_e = w_ref[0, 0, :, :BY]
-        wx_e = w_ref[0, 0, :, BY:BY + PATCH_X]
-        t1 = jnp.concatenate([wy_e] * PATCH_X, axis=1)
-        wxl = lax.dot_general(
-            wx_e, el_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ).astype(dtype)
-        A = (t1 * wxl).reshape(K, 2, P8 * P8, XY)
+        A = _build_A(w_ref[0, 0], el_ref, BY, K, P8, XY, dtype, prec)
 
         for k in range(K):
             base = 2 * ((b * steps + s) * K + k)

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for multi-level ROIAlign (inference hot path).
+"""Pallas TPU kernels for multi-level ROIAlign (inference + training fwd).
 
 The XLA gather formulation of ROIAlign reads 4 feature rows per bilinear
 sample — ~784 row-gathers per RoI — and TPU gathers sustain only ~130 GB/s,
@@ -7,48 +7,58 @@ making the box pooler the single most expensive stage of Cube R-CNN inference
 
 Key property of FPN level assignment: a box routed to level l satisfies
 sqrt(area)/2^l <= 28 cells, so extent_x * extent_y <= 28^2 — at most ONE axis
-can exceed a 32-cell window. Per RoI we therefore DMA TWO (PATCH_X, PATCH, C)
-sub-patches tiled along the box's longer axis (the second degenerates to a
-zero-weight duplicate for compact boxes), and the WHOLE separable bilinear
-pooling collapses to ONE clean 2D matmul per sub-patch:
+can exceed its window. Per RoI we take up to TWO (PATCH_X, BY) windows tiled
+along the box's longer axis (the second collapses to a duplicate of the
+first for compact boxes — the overwhelming majority — and its weight block
+is exactly zero), and the WHOLE separable bilinear pooling collapses to ONE
+clean 2D matmul per window:
 
-    S[py*8+px, c] = sum_{x,y} A[py*8+px, x*32+y] * B[(x,y), c]
-    A[r, x*32+y]  = wy[r//8, y] * wx[r%8, x]     (rank-1 in (y, x) per row)
+    S[py*8+px, c] = sum_{x,y} A[py*8+px, x*BY+y] * B[(x,y), c]
+    A[r, x*BY+y]  = wy[r//8, y] * wx[r%8, x]     (rank-1 in (y, x) per row)
 
-The pyramid is staged TRANSPOSED in HBM as 3D (rows=(img, level, x), Hp, C):
-a patch DMA lands as (PATCH_X, PATCH, C) whose outer+sublane flatten
-((x, y), C) is directly the matmul rhs — no intermediate buffer, no
-middle-dim contraction, no transpose. (An earlier two-matmul design —
-block-diagonal y-contraction then an x-contraction over the middle dim of
-the intermediate — lowered to ~64 mostly-padding MXU ops per step for the
-x side; measured ablations showed all of this one-matmul form's compute
-hides completely under the patch DMA, which is the true floor.)
+The pyramid is staged TRANSPOSED in HBM as (rows=(img, level, x), Hp, C):
+x is the outer dim (free offsets), y the sublane dim (align-rounded origins,
+the <= align-1 cells of slack absorbed by the BY-row window), c the lane
+dim. A window then lands as (PATCH_X, BY, C) whose free 2D view ((x, y), C)
+is directly the matmul rhs — no intermediate buffer, no transpose. (Earlier
+designs: a two-matmul separable form lowered to ~64 mostly-padding MXU ops;
+a 32-row window needed TWO +4-shifted phase copies of the staging to get
+8-aligned origins — folding the slack into a 40/48-row window instead
+halves the staging memory AND traffic and makes splits rare: y coverage per
+window is BY-align+1-2 >= 31 cells vs 28 for the old phased 32-row window.)
 
-The A matrix is built in-kernel from compact per-box factors (wy_exp, wx_exp
+Two kernel modes share the plan and the staging layout:
+
+* DMA mode (`mode="dma"`): per-window async copies HBM->VMEM,
+  double-buffered across a sequential grid; compute hides entirely under
+  the patch DMA, which is HBM-bandwidth-bound (~1.2 us/RoI at bs=32x1000).
+* Plane-resident mode (`mode="res"`): grid (image, box-step); the whole
+  staged per-image pyramid (one contiguous (rows_blk, Hp, C) block,
+  ~25 MB at 512px/C=256/bf16) is pipeline-revisited in VMEM across the
+  image's box steps, so windows are VMEM reads — HBM traffic drops from
+  ~2 windows/RoI (~1 MB) to the plane once per image (~25x less), leaving
+  the per-box pooling matmul as the floor. Windows read at align-rounded
+  sublane offsets, so bf16 (sublane tile 16) uses align=16/BY=48 and f32
+  (tile 8) align=8/BY=40. Auto-selected when the plane fits the VMEM
+  budget (RESIDENT_MAX_BYTES).
+
+The A matrix is built in-kernel from compact per-box factors (wy, wx
 shipped as one packed (K*2*64, 128) block per step): the wy factor lands on
 the (x, y) lane grid by lane-tiling (y is lane-minor), the wx factor by one
-small shared one-hot matmul (EL[x, x*32+y] = 1). Sub-patch DMAs are
-double-buffered across the sequential grid so copy overlaps compute. HBM
-traffic: ~2 contiguous patches/RoI instead of ~784 scattered rows; measured
-~1.3 us/RoI at bs=32x1000 RoIs (vs ~0.9 us for the bare DMA machinery and
-~2.05 us for the two-matmul design).
-
-Layout details: x origins are OUTER-dim offsets (no alignment), y origins
-sublane offsets (8-aligned via the two +4-shifted phase copies, <=3 cells
-slack); the MXU result rows r = py*8+px split freely into (py, px) sublane
-tiles, so the (P, P, C) output needs no transpose.
+small shared one-hot matmul (EL[x, x*BY+y] = 1).
 
 Covers boxes up to ~62 cells on the long axis at their assigned level
 (aspect ~4.8 at the FPN envelope); rarer, longer boxes lose their outermost
 taps (treated as out-of-bounds zeros, like the boundary rule).
 
 Replaces the same op as ops/roi_align.py (reference ROIAlignV2 binding,
-SURVEY §2.3 N1); the XLA version remains the autodiff/training path and the
-test oracle.
+SURVEY §2.3 N1); the XLA version remains the oracle.
 """
 from __future__ import annotations
 
+import functools
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -59,9 +69,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import _num_samples, _sample_grid_1d, assign_fpn_levels
 
-PATCH = 32      # y window (free DMA offset alignment)
-PATCH_X = 32    # x window: origins are lane offsets in the 2D (rows, W*C)
-                # pyramid staging, so no alignment slack is needed
+PATCH_X = 32    # x window: origins are outer-dim offsets, no alignment slack
+BY_DMA = 40     # y window for DMA mode: 8-aligned origins (HBM sublane
+                # granularity), <=7 slack + <=31-cell extent + 2 taps
+# largest per-image staged plane the resident kernel will keep in VMEM
+# (double-buffered by the pipeline; budget leaves room for weights, the A
+# build and the f32 accumulator inside vmem_limit_bytes=100MB)
+RESIDENT_MAX_BYTES = 40 * 2 ** 20
+
+
+def _window_geom(dtype):
+    """(BY, align) for VMEM-resident window reads: dynamic sublane slices
+    must respect the dtype's tile (8 rows f32, 16 rows bf16/fp8)."""
+    return (40, 8) if jnp.dtype(dtype).itemsize >= 4 else (48, 16)
 
 
 def _taps(pos, limit):
@@ -82,10 +102,10 @@ def _taps(pos, limit):
 
 
 def _axis_weights(pos, limit, origins, patch):
-    """(2, PS, patch) sub-patch weight matrices for one axis of one box.
+    """(2, PS, patch) sub-window weight matrices for one axis of one box.
 
-    origins: (2,) sub-patch origins along this axis. Every tap contributes to
-    the sub-patch that contains it (q=0 preferred when both do).
+    origins: (2,) sub-window origins along this axis. Every tap contributes
+    to the sub-window that contains it (q=0 preferred when both do).
     """
     lo, hi, w_lo, w_hi = _taps(pos, limit)
     cells = jnp.arange(patch)[None, None, :]  # (1, 1, patch)
@@ -111,23 +131,33 @@ def _last_tap(pos, limit):
     )
 
 
-def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
-    """Per-box plan: level, 2 sub-patch origins (y rows / x cells), y phase,
-    sample-reduced weights wy (2, P, PATCH) / wx (2, P, PATCH_X).
+def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level,
+          BY=BY_DMA, align=8):
+    """Per-box plan: level, 2 sub-window origins (y rows align-rounded /
+    x cells free), sample-reduced weights wy (2, P, BY) / wx (2, P, PATCH_X).
+
+    The y origin is the first tap rounded DOWN to `align` (DMA sublane
+    granularity is 8; VMEM-resident bf16 reads need 16); the <= align-1
+    rows of slack live inside the BY window, so no phase copies of the
+    staging are needed and a window covers BY-align+1 cells of taps. A
+    second window (origin +BY on y or +PATCH_X on x, along the box's longer
+    axis only) extends coverage to ~2x for elongated boxes; for compact
+    boxes both windows coincide and the q1 weight block is exactly zero
+    (kernels skip its matmul/DMA via word equality).
 
     sampling_ratio=0 reproduces torchvision's per-box adaptive grid exactly
     (see roi_align._sample_grid_1d) — the adaptive count only changes the
     per-sample weights folded in here; the tap footprint, window geometry and
-    the kernel are untouched."""
+    the kernels are untouched."""
     n_levels = len(strides)
     lvl = assign_fpn_levels(boxes, min_level, min_level + n_levels - 1) - min_level
     # coverage bump: extremely elongated boxes (aspect beyond ~4.8 at the FPN
-    # envelope) cannot fit 2 sub-patches at their assigned level; pool them
-    # from the smallest coarser level where the long side fits 2*PATCH-2
+    # envelope) cannot fit 2 sub-windows at their assigned level; pool them
+    # from the smallest coarser level where the long side fits 2*PATCH_X-2
     # cells. Only such outliers deviate from reference level routing.
     max_side = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
     fit_lvl = jnp.ceil(
-        jnp.log2(jnp.maximum(max_side, 1.0) / (strides[0] * (2.0 * PATCH - 2.0)))
+        jnp.log2(jnp.maximum(max_side, 1.0) / (strides[0] * (2.0 * PATCH_X - 2.0)))
     ).astype(jnp.int32)
     lvl = jnp.clip(jnp.maximum(lvl, fit_lvl), 0, n_levels - 1)
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl]
@@ -144,26 +174,17 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
 
     split_x = (b[:, 2] - b[:, 0]) >= (b[:, 3] - b[:, 1])
 
-    # --- y origins: rows of the 2D staging are sublane-tiled, so DMA row
-    # offsets must be 8-aligned. The staging holds TWO phase copies of the
-    # pyramid (rows 0.. and rows 4..), so rounding t0 down to its nearest
-    # phase leaves <= 3 rows of slack — extent (<28) + 2 boundary taps + 3
-    # slack still fits the 32-row window. `oy` is the level-local aligned
-    # row in the chosen copy; `oy_cells` feeds the weight builder.
+    # --- y origins: first tap rounded down to `align`
     t0y = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, None)).astype(jnp.int32),
                    0, jnp.maximum(Hs.astype(jnp.int32) - 1, 0))
-    r8 = t0y % 8
-    phase_y = (r8 >= 4).astype(jnp.int32)
-    oy0_cells = t0y - r8 + 4 * phase_y
-    oy0_mem = t0y - r8
-    overflow_y = _last_tap(ys, Hs) >= oy0_cells + PATCH
+    oy0 = t0y - t0y % align
+    overflow_y = _last_tap(ys, Hs) >= oy0 + BY
     split_y = (~split_x) & overflow_y
-    oy_cells = jnp.stack([oy0_cells, oy0_cells + split_y * PATCH], axis=1)
-    oy_mem = jnp.stack([oy0_mem, oy0_mem + split_y * PATCH], axis=1)
+    oy = jnp.stack([oy0, oy0 + split_y * BY], axis=1)
 
-    # --- x origins: lane offsets in the 2D staging, no alignment needed;
-    # clip to the staging width (reads past a level's true width hit padding
-    # or neighbor cells whose tap weights are zero)
+    # --- x origins: outer-dim offsets in the staging, no alignment; clip to
+    # the staging width (reads past a level's true width hit padding or
+    # neighbor cells whose tap weights are zero)
     Wmax = max(max(s[1] for s in level_shapes), PATCH_X)
     t0x = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)).astype(jnp.int32),
                    0, jnp.maximum(Ws.astype(jnp.int32) - 1, 0))
@@ -173,7 +194,7 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
     ox1 = jnp.where(sx, jnp.clip(ox0 + PATCH_X, 0, Wmax - PATCH_X), ox0)
     ox = jnp.stack([ox0, ox1], axis=1)
 
-    wy = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(ys, Hs, oy_cells, PATCH)
+    wy = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(ys, Hs, oy, BY)
     wx = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(xs, Ws, ox, PATCH_X)
 
     # unsplit axis: both quadrants share the origin; q-ownership in
@@ -191,64 +212,130 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level):
     # bilinear grid and the (weighted) mean are both linear
     Se = _num_samples(sampling_ratio)
     P = out_size
-    wy = (wy * wys[:, None, :, None]).reshape(-1, 2, P, Se, PATCH).sum(axis=3)
+    wy = (wy * wys[:, None, :, None]).reshape(-1, 2, P, Se, BY).sum(axis=3)
     wx = (wx * wxs[:, None, :, None]).reshape(-1, 2, P, Se, PATCH_X).sum(axis=3)
-    return (lvl.astype(jnp.int32), oy_mem.astype(jnp.int32),
-            phase_y.astype(jnp.int32), ox.astype(jnp.int32), wy, wx)
+    return (lvl.astype(jnp.int32), oy.astype(jnp.int32), ox.astype(jnp.int32),
+            wy, wx)
+
+
+def staging_extent(level_shapes, BY):
+    """(col_off, rows_per_img, rows_blk, Hp) of the staged/accumulator
+    layout: outer rows = levels' x cells stacked (exact widths) + PATCH_X
+    zero tail rows absorbing x-window overhang; sublane dim Hp covers the
+    deepest window reach Hmax-1+BY (a split q1 window origin is <= Hs-1)."""
+    col_off, off = [], 0
+    for (_, w) in level_shapes:
+        col_off.append(off)
+        off += w
+    rows_per_img = off
+    rows_blk = off + PATCH_X
+    Hmax = max(h for (h, _) in level_shapes)
+    Hp = -(-(Hmax - 1 + BY) // 8) * 8
+    return np.asarray(col_off, np.int32), rows_per_img, rows_blk, Hp
+
+
+class Staged(NamedTuple):
+    mode: str           # "dma" | "res"
+    flat: jax.Array     # dma: (B*rows_blk, Hp, C); res: (B, rows_blk, Hp, C)
+    col_off: np.ndarray
+    rows_blk: int
+
+
+def default_mode(features):
+    """Resident when on TPU and the per-image plane fits the VMEM budget."""
+    if jax.default_backend() != "tpu":
+        return "dma"
+    BY, _ = _window_geom(features[0].dtype)
+    _, _, rows_blk, Hp = staging_extent([f.shape[1:3] for f in features], BY)
+    C = features[0].shape[-1]
+    plane = rows_blk * Hp * C * jnp.dtype(features[0].dtype).itemsize
+    return "res" if plane <= RESIDENT_MAX_BYTES else "dma"
+
+
+def stage_pyramid(features, mode: str | None = None):
+    """Stack every level of every image TRANSPOSED into ONE buffer with
+    rows=(img, level, x), sublanes=y, lanes=c: a window then lands as
+    (PATCH_X, BY, C) whose free 2D view ((x, y), C) is directly the rhs of
+    the kernel's ONE pooling matmul per sub-window (see module docstring).
+
+    The layout is IMAGE-MAJOR — each image owns one contiguous
+    rows_blk = rows_per_img + PATCH_X slice ([level rows | zero tail]) —
+    so one image's whole staged pyramid is a single block the resident
+    kernel keeps in VMEM; the tail absorbs x-window overreads (zero tap
+    weights). ~1.3x padded memory.
+
+    Callers pooling the same pyramid more than once per step (box + cube
+    pooler) should stage once and pass the result via `staged=`.
+    """
+    mode = mode or default_mode(features)
+    BY = BY_DMA if mode == "dma" else _window_geom(features[0].dtype)[0]
+    col_off, _, rows_blk, Hp = staging_extent([f.shape[1:3] for f in features],
+                                              BY)
+    C = features[0].shape[-1]
+    B = features[0].shape[0]
+    cols = []
+    for f in features:
+        ft = jnp.transpose(f, (0, 2, 1, 3))  # (B, W, H, C)
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, Hp - ft.shape[2]), (0, 0)))
+        cols.append(ft)
+    cols.append(jnp.zeros((B, PATCH_X, Hp, C), cols[0].dtype))
+    flat = jnp.concatenate(cols, axis=1)  # (B, rows_blk, Hp, C)
+    if mode == "dma":
+        flat = flat.reshape(B * rows_blk, Hp, C)
+    return Staged(mode, flat, col_off, rows_blk)
 
 
 def multilevel_roi_align_pallas(features, boxes, strides, out_size: int = 7,
                                 sampling_ratio: int = 2, min_level: int = 2,
-                                interpret: bool | None = None):
+                                interpret: bool | None = None, mode=None):
     """Single-image entry: features list of (H_l, W_l, C); boxes (N, 4)."""
     return multilevel_roi_align_pallas_batched(
         [f[None] for f in features], boxes[None], strides, out_size,
-        sampling_ratio, min_level, interpret,
+        sampling_ratio, min_level, interpret, mode=mode,
     )[0]
 
 
-def stage_pyramid(features):
-    """Stack every level of every image TRANSPOSED into ONE 3D
-    (rows=(img, phase, level, x), Hp, C) buffer: x is the outer dim (free DMA
-    offsets), y the sublane dim (8-aligned offsets via two +4-shifted phase
-    copies), c the lane dim. A patch DMA then lands as (PATCH_X, PATCH, C)
-    whose free 2D view ((x, y), C) is directly the rhs of the kernel's ONE
-    pooling matmul per box (see module docstring). Hp = max level height
-    + 2*PATCH slack so bottom-edge windows stay in bounds.
+def _expand_pack(wy, wx, BY, P, K, dtype):
+    """Pack per-box factors for the in-kernel A build: (n/K, K*2*P8*P8, 128)
+    with lanes [0:BY) holding wy_exp[r, y] = wy[r // P8, y] and lanes
+    [BY:BY+PATCH_X) wx_exp[r, x] = wx[r % P8, x]."""
+    P8 = -(-P // 8) * 8
+    wy8 = jnp.pad(wy, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
+    wx8 = jnp.pad(wx, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
+    wy_exp = jnp.repeat(wy8, P8, axis=2)            # (n, 2, P8*P8, BY)
+    wx_exp = jnp.tile(wx8, (1, 1, P8, 1))           # (n, 2, P8*P8, PATCH_X)
+    lanes = -(-(BY + PATCH_X) // 128) * 128
+    wboth = jnp.concatenate(
+        [wy_exp, wx_exp,
+         jnp.zeros(wy_exp.shape[:3] + (lanes - BY - PATCH_X,), wy_exp.dtype)],
+        -1)
+    n = wy.shape[0]
+    wboth = wboth.reshape(n // K, K * 2 * P8 * P8, lanes)
+    if jnp.dtype(dtype).itemsize <= 2:
+        wboth = wboth.astype(dtype)
+    return wboth, lanes
 
-    The layout is IMAGE-MAJOR — each image owns one contiguous
-    rows_blk = 2*rows_per_img + PATCH_X slice holding [phase-0 rows |
-    phase-1 rows | zero tail] — so one image's whole staged pyramid is a
-    single block the plane-resident kernel keeps in VMEM; the tail absorbs
-    x-window overreads (zero tap weights; phase-0 overreads land in phase-1
-    rows, also zero-weight). ~2.3x padded memory.
 
-    Callers pooling the same pyramid more than once per step (box + cube
-    pooler) should stage once and pass the result via `staged=`.
+def _one_hot_expander(BY, dtype):
+    """EL[x, x*BY + y] = 1 lifts the compact wx factor onto the (x, y) lane
+    grid with one small MXU dot."""
+    XY = PATCH_X * BY
+    el = np.zeros((PATCH_X, XY), np.float32)
+    for x in range(PATCH_X):
+        el[x, x * BY:(x + 1) * BY] = 1.0
+    return jnp.asarray(el, dtype)
 
-    Returns (flat (B*rows_blk, Hp, C), col_off int32 (L,), rows_per_img,
-    rows_blk).
-    """
-    C = features[0].shape[-1]
-    Hmax = max(f.shape[1] for f in features)
-    Hp = -(-Hmax // 8) * 8 + 2 * PATCH
-    cols, col_off, off = [], [], 0
-    for f in features:
-        ft = jnp.transpose(f, (0, 2, 1, 3))  # (B, W, H, C)
-        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, Hp - ft.shape[2]), (0, 0)))
-        col_off.append(off)
-        off += ft.shape[1]
-        cols.append(ft)
-    rows_per_img = off
-    base = jnp.concatenate(cols, axis=1)  # (B, rows_per_img, Hp, C)
-    B = base.shape[0]
-    shifted = jnp.pad(base[:, :, 4:, :], ((0, 0), (0, 0), (0, 4), (0, 0)))
-    flat = jnp.concatenate(
-        [base, shifted, jnp.zeros((B, PATCH_X, Hp, C), base.dtype)], axis=1
-    )
-    rows_blk = flat.shape[1]
-    return (flat.reshape(B * rows_blk, Hp, C), np.asarray(col_off, np.int32),
-            rows_per_img, rows_blk)
+
+def _build_A(w_ref, el_ref, BY, K, P8, XY, dtype, prec):
+    """A (K, 2, P8*P8, XY): A[..., r, x*BY+y] = wy_exp[r,y] * wx_exp[r,x]."""
+    wy_e = w_ref[:, :BY]
+    wx_e = w_ref[:, BY:BY + PATCH_X]
+    t1 = jnp.concatenate([wy_e] * PATCH_X, axis=1)  # [x*BY+y] = wy[y]
+    wxl = lax.dot_general(
+        wx_e, el_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dtype)                                 # [x*BY+y] = wx[x]
+    return (t1 * wxl).reshape(K, 2, P8 * P8, XY)
 
 
 def multilevel_roi_align_pallas_batched(features, boxes, strides,
@@ -257,17 +344,19 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                                         min_level: int = 2,
                                         interpret: bool | None = None,
                                         out_dtype=None,
-                                        staged=None,
-                                        boxes_per_step: int | None = None):
+                                        staged: Staged | None = None,
+                                        boxes_per_step: int | None = None,
+                                        mode: str | None = None):
     """Batched pallas ROIAlign over an FPN pyramid.
 
-    NOTE: do NOT jax.vmap the single-image version — the kernel drives its own
-    sequential grid and DMA pipeline, so batching is handled natively here via
-    a per-box image index. features: list of (B, H_l, W_l, C); boxes
+    NOTE: do NOT jax.vmap the single-image version — the kernels drive their
+    own sequential grid and pipeline, so batching is handled natively here
+    via a per-box image index. features: list of (B, H_l, W_l, C); boxes
     (B, N, 4). Returns (B, N, out_size, out_size, C) in `out_dtype`
     (default float32; pass the feature dtype to halve the output-store
     traffic when the consumer casts anyway). `staged` takes a previous
-    `stage_pyramid(features)` result to share the staging between calls.
+    `stage_pyramid(features)` result to share the staging between calls;
+    its mode selects the kernel (see module docstring), overriding `mode`.
     """
     on_tpu = jax.default_backend() == "tpu"
     auto = interpret is None
@@ -290,11 +379,29 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                 min_level)
         )(list(features), boxes)
         return out.astype(out_dtype or jnp.float32)
+
+    if staged is None:
+        staged = stage_pyramid(features, mode)
+    if staged.mode == "res":
+        return _pool_resident(features, boxes, strides, out_size,
+                              sampling_ratio, min_level, interpret, out_dtype,
+                              staged, boxes_per_step)
+    return _pool_dma(features, boxes, strides, out_size, sampling_ratio,
+                     min_level, interpret, out_dtype, staged, boxes_per_step)
+
+
+def _pool_dma(features, boxes, strides, out_size, sampling_ratio, min_level,
+              interpret, out_dtype, staged, boxes_per_step):
+    """Patch-DMA kernel: per-window HBM->VMEM async copies, double-buffered
+    across a 1D sequential grid; compute hides under the DMA (HBM-bound)."""
+    B, N = boxes.shape[:2]
+    C = features[0].shape[-1]
     P, S = out_size, sampling_ratio
+    BY = BY_DMA
     level_shapes = [f.shape[1:3] for f in features]
 
-    lvl, oy, phase_y, ox, wy, wx = jax.vmap(
-        lambda bx: _plan(bx, strides, level_shapes, P, S, min_level)
+    lvl, oy, ox, wy, wx = jax.vmap(
+        lambda bx: _plan(bx, strides, level_shapes, P, S, min_level, BY, 8)
     )(boxes)
     img = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
 
@@ -302,34 +409,28 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     NB = B * N
     img = img.reshape(NB)
     lvl = lvl.reshape(NB)
-    phase_y = phase_y.reshape(NB)
-    oy, ox = oy.reshape(-1), ox.reshape(-1)  # (2*NB,) interleaved per box
-    wy = wy.reshape(NB, 2, P, PATCH)   # sample-reduced in _plan
+    oy, ox = oy.reshape(NB, 2), ox.reshape(NB, 2)
+    wy = wy.reshape(NB, 2, P, BY)   # sample-reduced in _plan
     wx = wx.reshape(NB, 2, P, PATCH_X)
     N = NB
 
-    flat, col_off, rows_per_img, rows_blk = staged or stage_pyramid(features)
+    flat, col_off, rows_blk = staged.flat, staged.col_off, staged.rows_blk
     dtype = flat.dtype
     Hp = flat.shape[1]
 
-    # per-box absolute outer (x) origin: img block + phase section + level
-    # column offset (image-major staging). _plan's oy is 8-aligned with <=3
-    # slack (sublane dim in this layout) and ox is slack-free (outer dim,
-    # free offsets).
-    ox = (ox.reshape(NB, 2)
-          + (img[:, None] * rows_blk
-             + jnp.asarray(col_off)[lvl][:, None]
-             + phase_y[:, None] * rows_per_img))
+    # per-box absolute outer (x) origin: img block + level column offset
+    # (image-major staging). _plan's oy is 8-aligned (sublane dim in this
+    # layout) and ox is slack-free (outer dim, free offsets).
+    ox = (ox + img[:, None] * rows_blk + jnp.asarray(col_off)[lvl][:, None])
     # pack (x-row, y-sublane) into one int32 per (box, q): outer rows in bits
-    # [0,18), y in [18,31). One scalar read replaces two, and sub-patch
+    # [0,18), y in [18,31). One scalar read replaces two, and sub-window
     # equality (the q1 test) becomes word equality.
-    n_flat_rows = rows_blk * B
-    assert n_flat_rows < (1 << 18), n_flat_rows
+    assert rows_blk * B < (1 << 18), rows_blk * B
     assert Hp <= (1 << 13), Hp
-    pk = (ox + (oy.reshape(NB, 2) << 18)).reshape(-1)
+    pk = (ox + (oy << 18)).reshape(-1)
 
     # K boxes per grid step to amortize per-step control overhead; bounded by
-    # VMEM (patch scratch = 2 slots * 2 sub-patches * K * PATCH_X*PATCH*C)
+    # VMEM (patch scratch = 2 slots * 2 sub-windows * K * PATCH_X*BY*C)
     K = boxes_per_step or (4 if jnp.dtype(dtype).itemsize <= 2 else 2)
     pad_n = (-N) % K
     if pad_n:
@@ -340,31 +441,9 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     n_steps = Np // K
 
     P8 = -(-P // 8) * 8  # output rows r = py*P8 + px, one sublane tile per py
-
-    # expanded weight factors, shipped packed as (n_steps, K*2*P8*P8, 128):
-    # lanes [0:PATCH) hold wy_exp[r, y] = wy[r // P8, y] and lanes
-    # [PATCH:PATCH+PATCH_X) hold wx_exp[r, x] = wx[r % P8, x]; the kernel
-    # combines them into the per-box pooling matrix A (see module docstring).
-    wy8 = jnp.pad(wy, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))  # (Np,2,P8,PATCH)
-    wx8 = jnp.pad(wx, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
-    wy_exp = jnp.repeat(wy8, P8, axis=2)            # (Np,2,P8*P8,PATCH)
-    wx_exp = jnp.tile(wx8, (1, 1, P8, 1))           # (Np,2,P8*P8,PATCH_X)
-    lanes = -(-(PATCH + PATCH_X) // 128) * 128
-    wboth = jnp.concatenate(
-        [wy_exp, wx_exp,
-         jnp.zeros((Np, 2, P8 * P8, lanes - PATCH - PATCH_X), wy.dtype)], -1)
-    wboth = wboth.reshape(n_steps, K * 2 * P8 * P8, lanes)
-    if jnp.dtype(dtype).itemsize <= 2:
-        wboth = wboth.astype(dtype)
-
-    XY = PATCH_X * PATCH  # flattened (x, y) contraction length
-
-    # shared one-hot lane expander: EL[x, x*PATCH + y] = 1 lifts the compact
-    # wx factor onto the (x, y) lane grid with one small MXU dot
-    el = np.zeros((PATCH_X, XY), np.float32)
-    for x in range(PATCH_X):
-        el[x, x * PATCH:(x + 1) * PATCH] = 1.0
-    EL = jnp.asarray(el, dtype)
+    wboth, lanes = _expand_pack(wy, wx, BY, P, K, dtype)
+    XY = PATCH_X * BY
+    EL = _one_hot_expander(BY, dtype)
 
     def kernel(*args):
         pk_ref = args[0]
@@ -390,17 +469,17 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                 # all K q0 copies share one byte-counting semaphore; the
                 # compute side waits once for all of them
                 pltpu.make_async_copy(
-                    flat_ref.at[pl.ds(xx, PATCH_X), pl.ds(yy, PATCH), :],
+                    flat_ref.at[pl.ds(xx, PATCH_X), pl.ds(yy, BY), :],
                     patch_buf.at[slot, 0, k], sem_q0.at[slot]
                 ).start()
 
-                # compact boxes skip the split sub-patch (its A block is
+                # compact boxes skip the split sub-window (its A block is
                 # zero; the scratch holds finite values)
                 @pl.when(w0 != w1)
                 def _():
                     xx1, yy1 = unpack(w1)
                     pltpu.make_async_copy(
-                        flat_ref.at[pl.ds(xx1, PATCH_X), pl.ds(yy1, PATCH), :],
+                        flat_ref.at[pl.ds(xx1, PATCH_X), pl.ds(yy1, BY), :],
                         patch_buf.at[slot, 1, k],
                         sem_q1.at[slot, k],
                     ).start()
@@ -433,22 +512,14 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
             @pl.when(q1_here[k])
             def _():
                 pltpu.make_async_copy(
-                    flat_ref.at[pl.ds(0, PATCH_X), pl.ds(0, PATCH), :],
+                    flat_ref.at[pl.ds(0, PATCH_X), pl.ds(0, BY), :],
                     patch_buf.at[slot, 1, k],
                     sem_q1.at[slot, k],
                 ).wait()
 
-        # build A (K*2*P8*P8, XY): A[r, x*PATCH+y] = wy_exp[r,y]*wx_exp[r,x]
-        wy_e = w_ref[0, :, :PATCH]
-        wx_e = w_ref[0, :, PATCH:PATCH + PATCH_X]
-        t1 = jnp.concatenate([wy_e] * PATCH_X, axis=1)  # [x*PATCH+y] = wy[y]
-        wxl = jax.lax.dot_general(
-            wx_e, el_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ).astype(dtype)                                 # [x*PATCH+y] = wx[x]
-        A = (t1 * wxl).reshape(K, 2, P8 * P8, XY)
+        A = _build_A(w_ref[0], el_ref, BY, K, P8, XY, dtype, prec)
 
-        # ONE clean 2D matmul per (box, sub-patch): the patch's free
+        # ONE clean 2D matmul per (box, sub-window): the window's free
         # ((x, y), C) view is the rhs, A the lhs; q1 contributes exact zeros
         # for compact boxes (its A block is zero)
         for k in range(K):
@@ -478,7 +549,7 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         out_specs=pl.BlockSpec((K, P, P, C), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, K, PATCH_X, PATCH, C), dtype),
+            pltpu.VMEM((2, 2, K, PATCH_X, BY, C), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, K)),
         ],
@@ -494,17 +565,131 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
     return out[:N].reshape(B, N // B, P, P, C)
 
 
-import functools
+def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
+                   min_level, interpret, out_dtype, staged, boxes_per_step):
+    """Plane-resident kernel: grid (image, box-step); the whole staged
+    per-image pyramid block is pipeline-revisited in VMEM across the image's
+    box steps, so sub-windows are VMEM reads at align-rounded sublane
+    offsets — no per-box HBM traffic at all. Compact boxes (the vast
+    majority under the BY-row window) skip the q1 matmul entirely."""
+    B, N = boxes.shape[:2]
+    C = features[0].shape[-1]
+    P, S = out_size, sampling_ratio
+    level_shapes = [f.shape[1:3] for f in features]
+    plane = staged.flat                      # (B, rows_blk, Hp, C)
+    dtype = plane.dtype
+    rows_blk = staged.rows_blk
+    Hp = plane.shape[2]
+    BY, align = _window_geom(dtype)
+
+    lvl, oy, ox, wy, wx = jax.vmap(
+        lambda bx: _plan(bx, strides, level_shapes, P, S, min_level, BY, align)
+    )(boxes)
+
+    NB = B * N
+    lvl = lvl.reshape(NB)
+    oy, ox = oy.reshape(NB, 2), ox.reshape(NB, 2)
+    wy = wy.reshape(NB, 2, P, BY)
+    wx = wx.reshape(NB, 2, P, PATCH_X)
+
+    # plane-LOCAL outer (x) row origin: level column offset only
+    xx = ox + jnp.asarray(staged.col_off)[lvl][:, None]
+    assert rows_blk < (1 << 18) and Hp <= (1 << 13)
+    pk = (xx + (oy << 18)).reshape(-1)
+
+    K = boxes_per_step or 4
+    pad_n = (-N) % K
+    Np = N + pad_n
+    if pad_n:  # pad per image so each grid step stays within one image
+        def padN(t):
+            t = t.reshape(B, N, *t.shape[1:])
+            pw = [(0, 0), (0, pad_n)] + [(0, 0)] * (t.ndim - 2)
+            return jnp.pad(t, pw)
+        pk = padN(pk.reshape(NB, 2)).reshape(-1)
+        wy = padN(wy).reshape(B * Np, 2, P, BY)
+        wx = padN(wx).reshape(B * Np, 2, P, PATCH_X)
+    steps = Np // K
+
+    P8 = -(-P // 8) * 8
+    wboth, lanes = _expand_pack(wy, wx, BY, P, K, dtype)
+    wboth = wboth.reshape(B, steps, K * 2 * P8 * P8, lanes)
+    XY = PATCH_X * BY
+    EL = _one_hot_expander(BY, dtype)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def kernel(pk_ref, plane_ref, w_ref, el_ref, out_ref, acc_ref):
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+
+        A = _build_A(w_ref[0, 0], el_ref, BY, K, P8, XY, dtype, prec)
+
+        for k in range(K):
+            base = 2 * ((b * steps + s) * K + k)
+            w0 = pk_ref[base]
+            w1 = pk_ref[base + 1]
+
+            def window(word):
+                xc = word & ((1 << 18) - 1)
+                row = pl.multiple_of(word >> 18, align)
+                return plane_ref[
+                    0, pl.ds(xc, PATCH_X), pl.ds(row, BY), :
+                ].reshape(XY, C)
+
+            acc_ref[k] = lax.dot_general(
+                A[k, 0], window(w0), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+            # compact boxes carry a zero q1 weight block — skip its matmul
+            @pl.when(w0 != w1)
+            def _():
+                acc_ref[k] = acc_ref[k] + lax.dot_general(
+                    A[k, 1], window(w1), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+            r = acc_ref[k].reshape(P8, P8, C)
+            out_ref[0, 0, k] = r[:P, :P, :].astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, steps),
+        in_specs=[
+            # one image's whole staged plane, revisited across its box steps
+            pl.BlockSpec((1, rows_blk, Hp, C), lambda b, s, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K * 2 * P8 * P8, lanes),
+                         lambda b, s, *_: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PATCH_X, XY), lambda b, s, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, K, P, P, C),
+                               lambda b, s, *_: (b, s, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K, P8 * P8, C), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, steps, K, P, P, C),
+                                       out_dtype or jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(pk, plane, wboth, EL)
+    return out.reshape(B, Np, P, P, C)[:, :N]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def multilevel_roi_align_fast(features, boxes, strides, out_size=7,
                               sampling_ratio=2, min_level=2):
-    """Differentiable pooler: pallas kernel forward, XLA-transpose backward.
+    """Differentiable pooler: pallas kernel forward, pallas transpose
+    backward (XLA scatter off-TPU).
 
-    RoI pooling is linear in the features, so the backward pass reuses the
-    XLA gather formulation's VJP (a scatter-add); the hot forward runs the
-    patch-DMA kernel. `strides` must be a tuple (static).
+    RoI pooling is linear in the features, so the backward applies the
+    transposed plan; `strides` must be a tuple (static).
     """
     return multilevel_roi_align_pallas_batched(
         list(features), boxes, list(strides), out_size, sampling_ratio, min_level

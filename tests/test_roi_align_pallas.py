@@ -11,7 +11,7 @@ import pytest
 
 from omni3d_tpu.ops import roi_align as ra_ops
 from omni3d_tpu.ops.roi_align_pallas import (
-    PATCH, multilevel_roi_align_pallas, multilevel_roi_align_pallas_batched)
+    multilevel_roi_align_pallas, multilevel_roi_align_pallas_batched)
 
 STRIDES = [4, 8, 16, 32, 64]
 
@@ -88,7 +88,7 @@ class TestPallasVsOracle:
         boxes = jnp.asarray(np.concatenate([xy, xy + side * rng.uniform(0.8, 1.25, (64, 1)), ], -1))
         boxes = jnp.concatenate([boxes[:, :2], boxes[:, :2] + side], -1)
         level_shapes = [(256 // s, 256 // s) for s in STRIDES]
-        lvl, oy, phase_y, ox, wy, wx = _plan(boxes, STRIDES, level_shapes, 7, 2, 2)
+        lvl, oy, ox, wy, wx = _plan(boxes, STRIDES, level_shapes, 7, 2, 2)
         assert bool(jnp.all(oy[:, 0] == oy[:, 1]))
         assert bool(jnp.all(ox[:, 0] == ox[:, 1]))
 
@@ -105,3 +105,77 @@ class TestPallasVsOracle:
             want = ra_ops.multilevel_roi_align(
                 [f[b] for f in feats], boxes[b], STRIDES, 7, 2)
             np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want), atol=2e-4)
+
+
+class TestResidentKernel:
+    """Plane-resident mode: the per-image staged pyramid stays in VMEM and
+    sub-windows are VMEM reads. Same plan machinery, different kernel —
+    must match the oracle bit-for-tolerance like the DMA mode."""
+
+    def test_matches_oracle_f32(self):
+        rng = np.random.default_rng(7)
+        B = 2
+        feats = _pyramid(rng, B=B)
+        xy = rng.uniform(0, 200, (B, 9, 2)).astype(np.float32)
+        wh = rng.uniform(4, 60, (B, 9, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_pallas_batched(
+            feats, boxes, STRIDES, 7, 2, interpret=True, mode="res")
+        for b in range(B):
+            want = ra_ops.multilevel_roi_align(
+                [f[b] for f in feats], boxes[b], STRIDES, 7, 2)
+            np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                       atol=2e-4)
+
+    def test_bf16_window_geometry(self):
+        """bf16 features use 16-aligned origins + 48-row windows; values
+        must match the f32 oracle within bf16 rounding."""
+        rng = np.random.default_rng(8)
+        feats = _pyramid(rng)
+        xy = rng.uniform(0, 180, (12, 2)).astype(np.float32)
+        wh = rng.uniform(6, 70, (12, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_pallas(
+            [f.astype(jnp.bfloat16) for f in feats], boxes, STRIDES, 7, 2,
+            interpret=True, mode="res")
+        want = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=3e-2)
+
+    def test_split_and_edge_boxes(self):
+        """Elongated boxes exercise the second sub-window (conditional q1
+        matmul) and the level bump; edge boxes the boundary/tail rules."""
+        rng = np.random.default_rng(9)
+        feats = _pyramid(rng)
+        boxes = jnp.asarray([
+            [0, 0, 255, 255],        # whole image -> top level
+            [0, 0, 255, 40],         # elongated x (bumped, x-split)
+            [10, 0, 40, 250],        # elongated y (bumped, y-split)
+            [200, 200, 255, 255],    # corner box
+            [250, 250, 256, 256],    # edge-touching
+            [0, 0, 4, 4],            # tiny
+            [20, 60, 220, 100],      # 50x10 cells at p2: x-split, no bump
+        ], jnp.float32)
+        got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2,
+                                          interpret=True, mode="res")
+        want_multi = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2)
+        want_bumped = ra_ops.roi_align(feats[1], boxes, 7, 1.0 / 8, 2)
+        want = np.array(want_multi)
+        want[1:3] = np.asarray(want_bumped)[1:3]  # documented level bump
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    def test_n_not_multiple_of_step(self):
+        """N % K != 0 exercises the per-image zero-weight padding."""
+        rng = np.random.default_rng(10)
+        B = 2
+        feats = _pyramid(rng, B=B)
+        xy = rng.uniform(0, 200, (B, 7, 2)).astype(np.float32)
+        wh = rng.uniform(8, 50, (B, 7, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_pallas_batched(
+            feats, boxes, STRIDES, 7, 2, interpret=True, mode="res")
+        for b in range(B):
+            want = ra_ops.multilevel_roi_align(
+                [f[b] for f in feats], boxes[b], STRIDES, 7, 2)
+            np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                       atol=2e-4)
