@@ -163,8 +163,14 @@ class ShapeBuckets:
 
         self.groups = []
         for k, idx in groups.items():
-            b = min(budget[k], len(self.scales))
-            chunks = [c for c in np.array_split(np.asarray(self.scales), b)
+            # chunk DEDUPED scales so no two chunks share a last element
+            # (duplicate MIN_SIZE_TRAIN entries would otherwise collide on
+            # the cell key and silently drop scales from the sampling pool);
+            # cell membership below re-expands duplicates so a duplicated
+            # scale keeps its doubled weight in the per-image draw
+            uniq = sorted(set(self.scales))
+            b = min(budget[k], len(uniq))
+            chunks = [c for c in np.array_split(np.asarray(uniq), b)
                       if len(c)]
             shorts = [int(c[-1]) for c in chunks]
             # every cell (canonical short) carries its member scales so the
@@ -172,7 +178,12 @@ class ShapeBuckets:
             # (reference ResizeShortestEdge samples per image,
             # dataset_mapper.py:26-28; the cell's canonical short upper-bounds
             # members so the padded shape stays fixed)
-            cells = {int(c[-1]): [int(s) for s in c] for c in chunks}
+            cells = {}
+            lo = -1
+            for c in chunks:
+                canon = int(c[-1])
+                cells[canon] = [int(s) for s in self.scales if lo < s <= canon]
+                lo = canon
             shapes = {}
             for s in shorts:
                 sub = hw[idx]

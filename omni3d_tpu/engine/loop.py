@@ -131,12 +131,28 @@ def run_inference_dataset(cfg, model, variables, dataset_name, id_map,
 
 
 def do_test(cfg, model, variables, output_dir=None, storage=None,
-            datasets_root=None):
-    """Evaluate every cfg.DATASETS.TEST dataset (reference do_test:56-114)."""
+            datasets_root=None, iteration="final"):
+    """Evaluate every cfg.DATASETS.TEST dataset (reference do_test:56-114).
+
+    Predictions/results/vis land under <output_dir>/inference/iter_<N>/
+    per the reference folder layout (train_net.py:66); after each dataset
+    the per-instance error stats (xy/z/whl/ry vs matched GT) are logged and
+    sample images with drawn detections are dumped (train_net.py:96-107,
+    vis.py:76-196)."""
+    from ..evaluation.error_stats import (compute_error_stats,
+                                          error_log_string,
+                                          visualize_from_predictions)
+
     filter_settings = data_lib.get_filter_settings_from_cfg(cfg)
     id_map = data_lib.metadata("omni3d_model")["thing_dataset_id_to_contiguous_id"]
+    inference_dir = (os.path.join(output_dir, "inference", f"iter_{iteration}")
+                     if output_dir else None)
     helper = Omni3DEvaluationHelper(list(cfg.DATASETS.TEST), filter_settings,
-                                    output_dir)
+                                    inference_dir)
+    try:
+        thing_classes = data_lib.metadata("omni3d_model")["thing_classes"]
+    except KeyError:
+        thing_classes = [str(i) for i in range(cfg.MODEL.ROI_HEADS.NUM_CLASSES)]
     results = {}
     for name in cfg.DATASETS.TEST:
         preds = run_inference_dataset(cfg, model, variables, name, id_map, storage)
@@ -151,7 +167,33 @@ def do_test(cfg, model, variables, output_dir=None, storage=None,
         print(f"[eval] {name}: " + "  ".join(
             f"{k}={v:.2f}" for k, v in results[name].items()
             if k in ("AP2D", "AP3D")))
+        if jax.process_index() == 0:
+            # per-dataset 3D error stats + sample dumps (reference
+            # train_net.py:102-107 -> vis.visualize_from_instances)
+            anns = [dict(a) for a in gt_api.dataset.get("annotations", [])]
+            for a in anns:  # raw Omni3D jsons carry the pose as R_cam
+                a.setdefault("pose", a.get("R_cam"))
+            Ks = {img["id"]: img["K"]
+                  for img in gt_api.dataset.get("images", []) if "K" in img}
+            n_cats = max(len(thing_classes), 1)
+            stats = compute_error_stats(
+                preds, anns, score_thresh=float(np.sqrt(1.0 / n_cats)), Ks=Ks)
+            print("[eval] " + error_log_string(name, stats, iteration))
+            results[name]["error_stats"] = stats
+            if storage is not None:
+                for k, v in stats.items():
+                    if np.isfinite(v):
+                        storage.put_scalar(f"eval/{name}/{k}", float(v))
+            if inference_dir is not None:
+                n_vis = visualize_from_predictions(
+                    preds, gt_api, os.path.join(inference_dir, name),
+                    thing_classes, datasets_root=datasets_root or "")
+                if n_vis:
+                    print(f"[eval] wrote {n_vis} vis samples -> "
+                          f"{os.path.join(inference_dir, name, 'vis')}")
     results["summary"] = helper.summarize_all()
+    if jax.process_index() == 0 and inference_dir is not None:
+        helper.save_results()
     if results["summary"]:
         from ..vis.logperf import print_per_category_table
 

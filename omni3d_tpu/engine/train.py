@@ -71,12 +71,18 @@ def create_train_state(cfg, model: CubeRCNN, tx, rng, input_hw=(512, 512),
 
 
 def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
-                   train_bn: bool = True):
+                   train_bn: bool = True, img_offset=0):
     """All Cube R-CNN losses for one globally-batched step.
 
     batch: images (B,H,W,3) normalized, hw (B,2), Ks (B,3,3), ratios (B,),
       gt_boxes (B,G,4) net-res XYXY, gt_classes (B,G) (-1 rows = ignore
       regions), gt_valid (B,G) bool, gt_boxes3D (B,G,6), gt_poses (B,G,3,3).
+
+    img_offset: index of batch[0] in the GLOBAL batch. Per-image sampling
+    RNGs are derived by folding the global image index into the step rng, so
+    the random draws are identical under ANY data-parallel layout (1 chip,
+    an 8-device shard_map shard, a pod slice) — the property the
+    DP-equivalence test asserts (tests/test_train.py).
 
     Returns (total_loss, (losses, metrics, new_batch_stats)).
     """
@@ -119,7 +125,8 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
 
     # ---- RPN labels + losses ----
     rng, rng_anchor, rng_prop = jax.random.split(rng, 3)
-    anchor_rngs = jax.random.split(rng_anchor, B)
+    global_idx = img_offset + jnp.arange(B)
+    anchor_rngs = jax.vmap(lambda i: jax.random.fold_in(rng_anchor, i))(global_idx)
     lab = jax.vmap(
         lambda r, gb, gc, gv: label_and_sample_anchors(
             r, anchors_cat, gb, gc, gv,
@@ -157,7 +164,7 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
     # ---- sample proposals for the ROI heads ----
     S = cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
     F = int(S * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION)
-    prop_rngs = jax.random.split(rng_prop, B)
+    prop_rngs = jax.vmap(lambda i: jax.random.fold_in(rng_prop, i))(global_idx)
     sampled = jax.vmap(
         lambda r, pb, pv, gb, gc, gv: label_and_sample_proposals(
             r, pb, pv, gb, gc, gv, C,
@@ -285,15 +292,19 @@ def make_train_step(cfg, model: CubeRCNN, tx, mesh: Mesh | None = None,
     TOLERANCE = 4.0  # loss-spike skip threshold (reference train_net.py:164)
     GAMMA = 0.02     # rolling-mean gain (train_net.py:166)
 
-    def local_value_and_grad(params, batch_stats, batch, rng):
+    def local_value_and_grad(params, batch_stats, batch, rng, img_offset=0):
         grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
-        return grad_fn(params, batch_stats, batch, rng, model, cfg, train_bn)
+        return grad_fn(params, batch_stats, batch, rng, model, cfg, train_bn,
+                       img_offset)
 
     if mesh is not None:
         def sharded_value_and_grad(params, batch_stats, batch, rng):
-            # decorrelate per-device sampling RNG (anchor/proposal multinomial)
-            rng = jax.random.fold_in(rng, lax.axis_index("data"))
-            out = local_value_and_grad(params, batch_stats, batch, rng)
+            # per-image RNG derivation keyed by GLOBAL image index: shard d
+            # of local size b holds global images [d*b, (d+1)*b), so every
+            # image draws the same anchor/proposal samples as it would on
+            # any other layout (tested: DP-equivalence, tests/test_train.py)
+            offset = lax.axis_index("data") * batch["images"].shape[0]
+            out = local_value_and_grad(params, batch_stats, batch, rng, offset)
             # one fused pmean = DDP grad all-reduce + the reference's
             # loss-dict all-reduce (train_net.py:471-498); XLA's
             # all-reduce combiner merges the per-leaf psums.

@@ -96,7 +96,12 @@ class CubeRCNN(nn.Module):
         cfg = self.cfg
         C = cfg.MODEL.ROI_HEADS.NUM_CLASSES
         self.num_classes = C
-        bottom_up, _ = build_bottom_up(cfg, self.train_mode, self.dtype)
+        # MODEL.USE_BN=False freezes BN (running stats even in training) —
+        # the reference's freeze_bn path (solver/build.py:73-78 applied via
+        # config.py:82); without this, a train-mode model with immutable
+        # batch_stats crashes in flax
+        train_bn = self.train_mode and bool(cfg.MODEL.USE_BN)
+        bottom_up, _ = build_bottom_up(cfg, train_bn, self.dtype)
         self.backbone = bottom_up
         self.fpn = FPN(
             in_features=tuple(cfg.MODEL.FPN.IN_FEATURES),

@@ -201,6 +201,29 @@ class TestROIAlign:
         expected = roi_align_oracle(feat, boxes, 7, 1.0, 0)
         np.testing.assert_allclose(out, expected, atol=1e-4)
 
+    def test_degenerate_boxes_zero_adaptive(self):
+        """sampling_ratio=0 with zero/negative-extent boxes: torchvision's
+        adaptive loop is EMPTY (grid = ceil(extent/out) <= 0, count clamped
+        to 1) so the output is exactly 0; the static-grid transcription must
+        reproduce that via its all-false weight mask (ORACLES.md)."""
+        rng = np.random.default_rng(6)
+        feat = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        boxes = np.array(
+            [
+                [10.0, 10.0, 10.0, 20.0],   # zero width
+                [10.0, 10.0, 20.0, 10.0],   # zero height
+                [20.0, 20.0, 12.0, 28.0],   # negative width
+                [20.0, 20.0, 28.0, 12.0],   # negative height
+            ],
+            np.float32,
+        )
+        out = np.asarray(
+            ra_ops.roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0, 0)
+        )
+        expected = roi_align_oracle(feat, boxes, 7, 1.0, 0)
+        np.testing.assert_array_equal(expected, np.zeros_like(expected))
+        np.testing.assert_allclose(out, expected, atol=1e-6)
+
     def test_adaptive_multilevel_vs_oracle(self):
         rng = np.random.default_rng(5)
         feats = [

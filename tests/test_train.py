@@ -150,6 +150,79 @@ class TestTrainStep:
         assert np.isfinite(float(logs["total_loss"]))
         assert int(state2.step) == 1
 
+    @pytest.mark.heavy
+    def test_dp_equivalence(self):
+        """One 8-device shard_map step == one single-device step on the SAME
+        global batch: same total loss, same updated params (to fp
+        tolerance). Per-image sampling RNGs are derived from the GLOBAL
+        image index (engine/train.py compute_losses img_offset), so the
+        random draws are layout-independent and the only residual
+        differences are fp reduction order and per-shard-vs-global loss
+        normalization of count-normalized terms — the reference's DDP makes
+        the same trade (per-GPU normalization, then gradient averaging,
+        train_net.py:451-454). A wrong image->device routing, a missing or
+        double pmean, or a shard-local op leaking across the batch axis
+        shows up as a gross mismatch here.
+
+        BN is FROZEN for this test (MODEL.USE_BN False): train-mode BN
+        normalizes by per-shard batch statistics — the reference's per-GPU
+        BN under DDP (broadcast_buffers=False) — which is layout-DEPENDENT
+        by design, so only the frozen-BN step admits an equivalence check."""
+        cfg = tiny_cfg()
+        cfg.MODEL.USE_BN = False
+        scfg = StaticCfg(cfg)
+        model = CubeRCNN(cfg=scfg, train_mode=True)
+        tx = build_optimizer(cfg, {})
+        state1 = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), (64, 64))
+        state8 = jax.tree.map(lambda x: x.copy(), state1)
+        batch = synthetic_batch(np.random.default_rng(3), B=8)
+        rng = jax.random.PRNGKey(7)
+
+        step1 = make_train_step(scfg, model, tx)
+        step8 = make_train_step(scfg, model, tx, mesh=make_mesh(8))
+        s1, logs1 = step1(state1, batch, rng)
+        s8, logs8 = step8(state8, batch, rng)
+
+        l1, l8 = float(logs1["total_loss"]), float(logs8["total_loss"])
+        assert np.isfinite(l1) and np.isfinite(l8)
+        # global-batch loss vs pmean of per-shard losses: equal up to the
+        # count-normalized terms' per-shard-vs-global denominators
+        np.testing.assert_allclose(l8, l1, rtol=5e-3)
+
+        # EXACT contract: the shard_map step must equal a hand-computed DDP
+        # step — per-shard value_and_grad with the same global-image-index
+        # RNG derivation, arithmetically averaged, then one optimizer
+        # update. Catches wrong routing, missing/double pmean, cross-shard
+        # leakage at fp tolerance.
+        state_m = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), (64, 64))
+        rng_used = jax.random.fold_in(rng, state_m.step)
+        def loss_fn(params, bs, shard, rng, off):
+            return compute_losses(params, bs, shard, rng, model, scfg,
+                                  False, off)
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        shard_grads, shard_losses = [], []
+        for d in range(8):
+            shard = jax.tree.map(lambda x: x[d:d + 1], batch)
+            (t, _), g = grad_fn(state_m.params, state_m.batch_stats, shard,
+                                rng_used, jnp.int32(d))
+            shard_grads.append(g)
+            shard_losses.append(t)
+        avg = jax.tree.map(lambda *gs: sum(gs) / len(gs), *shard_grads)
+        l_manual = float(sum(shard_losses) / 8)
+        np.testing.assert_allclose(l8, l_manual, rtol=1e-5)
+        import optax
+
+        updates, _ = tx.update(avg, state_m.opt_state, state_m.params)
+        manual_params = optax.apply_updates(state_m.params, updates)
+        for (k8, a), (km, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(s8.params), key=lambda kv: str(kv[0])),
+                sorted(jax.tree_util.tree_leaves_with_path(manual_params), key=lambda kv: str(kv[0]))):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+            assert err < 1e-4, f"{k8}: rel err {err:.2e}"
+
     def test_grads_reach_all_branches(self):
         state, tx = self._state()
         batch = synthetic_batch(np.random.default_rng(4))

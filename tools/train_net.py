@@ -201,7 +201,8 @@ def main():
         dummy = jnp.zeros((1, 128, 128, 3))
         variables = model.init(jax.random.PRNGKey(0), dummy)
         variables = load_weights(args, cfg, model, variables)
-        results = do_test(cfg, model, variables, output_dir)
+        results = do_test(cfg, model, variables, output_dir,
+                          datasets_root=root, iteration="final")
         print_ap_analysis_table({k: v for k, v in results.items() if k != "summary"})
         if results["summary"]:
             print_cross_dataset_table(results["summary"])
@@ -222,7 +223,8 @@ def main():
     def eval_fn(state, iteration):
         model = build_eval_model(cfg)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        results = do_test(cfg, model, variables, output_dir)
+        results = do_test(cfg, model, variables, output_dir,
+                          datasets_root=root, iteration=iteration)
         print_ap_analysis_table({k: v for k, v in results.items() if k != "summary"})
 
     state = train_with_retries(
