@@ -23,16 +23,20 @@ forward's documented elongated-box truncation.
   makes overlapping-window RMW race-free by construction — the thing
   neither XLA scatter path can exploit. Window overhang past a level's
   extent lands on zero-weight cells (exact zeros added into a neighbor
-  block or the 32-row tail).
+  block or the PATCH_X-row tail). (A DMA-mode bf16 forward uses 40-row/
+  8-aligned windows vs this kernel's 48/16; level routing is
+  geometry-independent so only the beyond-fit truncation boundary can
+  differ there.)
 
-Gradient accumulation is float32 by default (f32 sublane tile 8 -> the
-plan's 8-aligned 40-row windows RMW cleanly; ~44 MB block at 512px/C=256;
+The window geometry is derived from the FEATURE dtype (the resident
+forward's rule) so the backward transposes the exact plan the forward ran,
+widened to the accumulator dtype's sublane tile when that is stricter.
+Gradient accumulation is float32 by default (~44 MB block at 512px/C=256;
 v5e VMEM is 128 MB, raised via vmem_limit_bytes); f32 features' matmuls run
 at HIGHEST, matching the forward kernel's precision rule. An `acc_dtype`
-override keeps a bf16-accumulator variant (16-aligned origins, 48-row
-windows, the same geometry the resident forward uses for bf16) — measured
-SLOWER on v5e (the RMW's bf16 pack/unpack costs more than the halved VMEM
-bytes save) but parity-tested for hardware where that trade flips.
+override keeps a bf16-accumulator variant — measured SLOWER on v5e (the
+RMW's bf16 pack/unpack costs more than the halved VMEM bytes save) but
+parity-tested for hardware where that trade flips.
 
 Reference: torchvision ROIAlign backward (CUDA atomicAdd splatting), bound
 at cubercnn/modeling/roi_heads/roi_heads.py:166-171 via the poolers
@@ -93,11 +97,17 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         return [x.astype(f.dtype) for x, f in zip(d, features)]
 
     acc_dtype = jnp.dtype(acc_dtype or jnp.float32)
-    # accumulator RMW alignment follows the ACC dtype's sublane tile: f32
-    # tiles are (8, 128) -> the plan's 8-aligned origins slice cleanly with
-    # 40-row windows; a bf16 accumulator needs 16-aligned origins and
-    # 48-row windows (same geometry as the resident forward for bf16)
-    BY, ALIGN = _window_geom(acc_dtype)
+    # window geometry follows the FEATURE dtype — the same rule the resident
+    # forward uses — so the backward applies the transpose of the exact plan
+    # the forward ran (same origins, same truncation boundary), rather than
+    # a merely-coinciding-within-coverage one. The accumulator RMW adds its
+    # own constraint: origins must also respect the ACC dtype's sublane tile
+    # (8 rows f32, 16 bf16); take the stricter of the two (a 16-aligned
+    # origin slices f32 tiles cleanly, so widening is always safe).
+    BY, ALIGN = _window_geom(dtype)
+    acc_BY, acc_ALIGN = _window_geom(acc_dtype)
+    if acc_ALIGN > ALIGN:
+        BY, ALIGN = acc_BY, acc_ALIGN
     xoff, _, rows_tot, Hp = staging_extent(level_shapes, BY)
 
     lvl, oy, ox, wy, wx = jax.vmap(

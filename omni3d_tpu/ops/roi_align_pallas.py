@@ -6,12 +6,14 @@ making the box pooler the single most expensive stage of Cube R-CNN inference
 (stage ablation: ~8.4 ms of a 15 ms step for 1000 RoIs @512px).
 
 Key property of FPN level assignment: a box routed to level l satisfies
-sqrt(area)/2^l <= 28 cells, so extent_x * extent_y <= 28^2 — at most ONE axis
-can exceed its window. Per RoI we take up to TWO (PATCH_X, BY) windows tiled
-along the box's longer axis (the second collapses to a duplicate of the
-first for compact boxes — the overwhelming majority — and its weight block
-is exactly zero), and the WHOLE separable bilinear pooling collapses to ONE
-clean 2D matmul per window:
+sqrt(area)/2^l <= 28 cells. Per RoI we take up to TWO (PATCH_X, BY) windows
+tiled along the axis whose taps overflow a single window (the second
+collapses to a duplicate of the first for compact boxes — the majority —
+and its weight block is exactly zero); boxes whose taps fit neither a
+2-window x split nor a 2-window y split at their assigned level are bumped
+to the first coarser level where they do (FIT_* caps below — a documented
+routing deviation, PARITY.md). The WHOLE separable bilinear pooling
+collapses to ONE clean 2D matmul per window:
 
     S[py*8+px, c] = sum_{x,y} A[py*8+px, x*BY+y] * B[(x,y), c]
     A[r, x*BY+y]  = wy[r//8, y] * wx[r%8, x]     (rank-1 in (y, x) per row)
@@ -47,9 +49,13 @@ shipped as one packed (K*2*64, 128) block per step): the wy factor lands on
 the (x, y) lane grid by lane-tiling (y is lane-minor), the wx factor by one
 small shared one-hot matmul (EL[x, x*BY+y] = 1).
 
-Covers boxes up to ~62 cells on the long axis at their assigned level
-(aspect ~4.8 at the FPN envelope); rarer, longer boxes lose their outermost
-taps (treated as out-of-bounds zeros, like the boundary rule).
+PATCH_X=16 (not 32) keys the arithmetic: the pooling matmul contracts over
+XY = PATCH_X*BY cells, ~99% of which are zero-weight padding for typical
+RoIs, so halving PATCH_X halves the MXU passes per box. The cost is a wider
+level-bump class: boxes needing >30 x-cells or both axes past a single
+window pool one level coarser (the reference routes them canonically) —
+measured as the right trade because post-NMS RoIs are dominated by compact
+boxes that fit ONE 16-cell window.
 
 Replaces the same op as ops/roi_align.py (reference ROIAlignV2 binding,
 SURVEY §2.3 N1); the XLA version remains the oracle.
@@ -69,9 +75,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import _num_samples, _sample_grid_1d, assign_fpn_levels
 
-PATCH_X = 32    # x window: origins are outer-dim offsets, no alignment slack
+PATCH_X = 16    # x window: origins are outer-dim offsets, no alignment slack
 BY_DMA = 40     # y window for DMA mode: 8-aligned origins (HBM sublane
                 # granularity), <=7 slack + <=31-cell extent + 2 taps
+
+# Level-routing fit caps in tap-extent CELLS at the pooled level,
+# deliberately GEOMETRY-INDEPENDENT (min over the (40,8)/(48,16) window
+# geometries) so DMA/resident forwards and the backward route every box to
+# the SAME level regardless of dtype/mode:
+FIT_X1 = PATCH_X - 2        # single x window
+FIT_X2 = 2 * PATCH_X - 2    # split-x pair
+FIT_Y1 = 31                 # single y window: BY - align - 1 (40-8-1 = 48-16-1)
+FIT_Y2 = 71                 # split-y pair: 2*BY - align - 1, min over geoms
 # largest per-image staged plane the resident kernel will keep in VMEM
 # (double-buffered by the pipeline; budget leaves room for weights, the A
 # build and the f32 accumulator inside vmem_limit_bytes=100MB)
@@ -80,8 +95,17 @@ RESIDENT_MAX_BYTES = 40 * 2 ** 20
 
 def _window_geom(dtype):
     """(BY, align) for VMEM-resident window reads: dynamic sublane slices
-    must respect the dtype's tile (8 rows f32, 16 rows bf16/fp8)."""
-    return (40, 8) if jnp.dtype(dtype).itemsize >= 4 else (48, 16)
+    must respect the dtype's tile — 8 rows for 4-byte, 16 for 2-byte.
+    1-byte dtypes have a 32-row sublane tile, which these geometries do NOT
+    satisfy; callers route them to the XLA oracle instead."""
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize >= 4:
+        return 40, 8
+    if itemsize == 2:
+        return 48, 16
+    raise NotImplementedError(
+        f"{jnp.dtype(dtype)} has a 32-row sublane tile; the pallas pooler "
+        "supports 2- and 4-byte feature dtypes (1-byte falls back to XLA)")
 
 
 def _taps(pos, limit):
@@ -140,10 +164,10 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level,
     granularity is 8; VMEM-resident bf16 reads need 16); the <= align-1
     rows of slack live inside the BY window, so no phase copies of the
     staging are needed and a window covers BY-align+1 cells of taps. A
-    second window (origin +BY on y or +PATCH_X on x, along the box's longer
-    axis only) extends coverage to ~2x for elongated boxes; for compact
-    boxes both windows coincide and the q1 weight block is exactly zero
-    (kernels skip its matmul/DMA via word equality).
+    second window (origin +BY on y or +PATCH_X on x, along the overflowing
+    axis only) extends coverage to ~2x; for compact boxes both windows
+    coincide and the q1 weight block is exactly zero (kernels skip its
+    matmul/DMA via word equality).
 
     sampling_ratio=0 reproduces torchvision's per-box adaptive grid exactly
     (see roi_align._sample_grid_1d) — the adaptive count only changes the
@@ -151,14 +175,21 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level,
     the kernels are untouched."""
     n_levels = len(strides)
     lvl = assign_fpn_levels(boxes, min_level, min_level + n_levels - 1) - min_level
-    # coverage bump: extremely elongated boxes (aspect beyond ~4.8 at the FPN
-    # envelope) cannot fit 2 sub-windows at their assigned level; pool them
-    # from the smallest coarser level where the long side fits 2*PATCH_X-2
-    # cells. Only such outliers deviate from reference level routing.
-    max_side = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
-    fit_lvl = jnp.ceil(
-        jnp.log2(jnp.maximum(max_side, 1.0) / (strides[0] * (2.0 * PATCH_X - 2.0)))
-    ).astype(jnp.int32)
+    # coverage bump: the 2 sub-windows split along ONE axis, so a box fits
+    # at a level iff (x <= FIT_X2 cells AND y <= FIT_Y1) — split on x —
+    # or (x <= FIT_X1 AND y <= FIT_Y2) — split on y. Boxes fitting neither
+    # pool from the first coarser level where they do (documented routing
+    # deviation, PARITY.md; the caps are geometry-independent so every
+    # kernel mode and the backward route identically).
+    sx_px = boxes[:, 2] - boxes[:, 0]
+    sy_px = boxes[:, 3] - boxes[:, 1]
+
+    def _need(side, cap):
+        return jnp.ceil(jnp.log2(jnp.maximum(side, 1.0) / (strides[0] * cap)))
+
+    l_split_x = jnp.maximum(_need(sx_px, FIT_X2), _need(sy_px, FIT_Y1))
+    l_split_y = jnp.maximum(_need(sx_px, FIT_X1), _need(sy_px, FIT_Y2))
+    fit_lvl = jnp.minimum(l_split_x, l_split_y).astype(jnp.int32)
     lvl = jnp.clip(jnp.maximum(lvl, fit_lvl), 0, n_levels - 1)
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl]
     Hs = jnp.asarray([s[0] for s in level_shapes], jnp.float32)[lvl]
@@ -172,7 +203,19 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level,
         lambda lo, sz: _sample_grid_1d(lo, sz, out_size, sampling_ratio)
     )(b[:, 0], b[:, 2] - b[:, 0])
 
-    split_x = (b[:, 2] - b[:, 0]) >= (b[:, 3] - b[:, 1])
+    # --- x origins first: outer-dim offsets in the staging, no alignment;
+    # clip to the staging width (reads past a level's true width hit padding
+    # or neighbor cells whose tap weights are zero). The split axis is the
+    # axis whose taps overflow a single window (the fit bump above
+    # guarantees at most one axis overflows, except at the top-level clip
+    # where oversized boxes truncate like the boundary rule).
+    Wmax = max(max(s[1] for s in level_shapes), PATCH_X)
+    t0x = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)).astype(jnp.int32),
+                   0, jnp.maximum(Ws.astype(jnp.int32) - 1, 0))
+    ox0 = jnp.clip(t0x, 0, Wmax - PATCH_X)
+    split_x = _last_tap(xs, Ws) >= ox0 + PATCH_X
+    ox1 = jnp.where(split_x, jnp.clip(ox0 + PATCH_X, 0, Wmax - PATCH_X), ox0)
+    ox = jnp.stack([ox0, ox1], axis=1)
 
     # --- y origins: first tap rounded down to `align`
     t0y = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, None)).astype(jnp.int32),
@@ -181,18 +224,6 @@ def _plan(boxes, strides, level_shapes, out_size, sampling_ratio, min_level,
     overflow_y = _last_tap(ys, Hs) >= oy0 + BY
     split_y = (~split_x) & overflow_y
     oy = jnp.stack([oy0, oy0 + split_y * BY], axis=1)
-
-    # --- x origins: outer-dim offsets in the staging, no alignment; clip to
-    # the staging width (reads past a level's true width hit padding or
-    # neighbor cells whose tap weights are zero)
-    Wmax = max(max(s[1] for s in level_shapes), PATCH_X)
-    t0x = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)).astype(jnp.int32),
-                   0, jnp.maximum(Ws.astype(jnp.int32) - 1, 0))
-    ox0 = jnp.clip(t0x, 0, Wmax - PATCH_X)
-    overflow_x = _last_tap(xs, Ws) >= ox0 + PATCH_X
-    sx = split_x & overflow_x
-    ox1 = jnp.where(sx, jnp.clip(ox0 + PATCH_X, 0, Wmax - PATCH_X), ox0)
-    ox = jnp.stack([ox0, ox1], axis=1)
 
     wy = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(ys, Hs, oy, BY)
     wx = jax.vmap(_axis_weights, in_axes=(0, 0, 0, None))(xs, Ws, ox, PATCH_X)
@@ -364,13 +395,16 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         interpret = not on_tpu
     B, N = boxes.shape[:2]
     C = features[0].shape[-1]
-    if (auto and not on_tpu) or (not interpret and C % 128):
-        # Two fallbacks to the XLA-gather oracle: (a) auto-dispatch off-TPU —
+    if ((auto and not on_tpu) or (not interpret and C % 128)
+            or jnp.dtype(features[0].dtype).itemsize < 2):
+        # Fallbacks to the XLA-gather oracle: (a) auto-dispatch off-TPU —
         # interpret-mode pallas re-runs the grid in Python and is orders of
         # magnitude slower than the compiled oracle (tests opt back in with
         # interpret=True); (b) Mosaic rejects lane dims off the 128 grid;
         # production FPN width is 256, so odd widths only appear in ad-hoc
-        # use — route them to the oracle rather than fail hardware compile.
+        # use — route them to the oracle rather than fail hardware compile;
+        # (c) 1-byte dtypes need 32-row sublane tiles the window geometries
+        # don't satisfy (_window_geom).
         from .roi_align import multilevel_roi_align
 
         out = jax.vmap(
@@ -571,7 +605,12 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
     per-image pyramid block is pipeline-revisited in VMEM across the image's
     box steps, so sub-windows are VMEM reads at align-rounded sublane
     offsets — no per-box HBM traffic at all. Compact boxes (the vast
-    majority under the BY-row window) skip the q1 matmul entirely."""
+    majority under the BY-row window) skip the q1 matmul entirely.
+    (Measured dead ends, kept out: async VMEM->VMEM window prefetch into a
+    double-buffered patch scratch ran 11% SLOWER than the synchronous
+    dynamic-slice read — local-DMA issue/wait overhead exceeds the relayout
+    it hides; jnp.repeat / broadcast-reshape builds of the wx lane
+    expansion fail to lower in Mosaic, so the one-hot EL matmul stays.)"""
     B, N = boxes.shape[:2]
     C = features[0].shape[-1]
     P, S = out_size, sampling_ratio

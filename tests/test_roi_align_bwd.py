@@ -55,7 +55,9 @@ class TestBwdKernel:
         boxes = boxes.at[0, 0].set(jnp.asarray([0., 0., 255., 255.]))  # whole img
         boxes = boxes.at[0, 1].set(jnp.asarray([250., 250., 256., 256.]))  # corner
         boxes = boxes.at[0, 2].set(jnp.asarray([0., 0., 2., 2.]))  # tiny
-        boxes = boxes.at[0, 3].set(jnp.asarray([0., 200., 255., 255.]))  # bottom strip
+        # bottom strip: 29.5x6.9 p3 cells — x-split, inside the fit envelope
+        # (wider strips now level-bump, covered by the transpose test below)
+        boxes = boxes.at[0, 3].set(jnp.asarray([0., 200., 236., 255.]))
         got = roi_align_bwd_pallas(feats, boxes, g, list(STRIDES), interpret=True)
         want = _ref_grads(feats, boxes, g)
         for gt, wt in zip(got, want):

@@ -63,19 +63,23 @@ class TestPallasVsOracle:
         want = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
-    def test_elongated_boxes_route_one_level_coarser(self):
-        """Documented deviation (PARITY.md): boxes too elongated to fit two
-        sub-patches at their assigned level pool from the next coarser level;
-        the values must exactly match a single-level oracle there."""
+    def test_elongated_boxes_route_coarser(self):
+        """Documented deviation (PARITY.md): boxes whose taps fit neither a
+        2-window x split (FIT_X2 x FIT_Y1 cells) nor a 2-window y split
+        (FIT_X1 x FIT_Y2) at their assigned level pool from the first
+        coarser level where they do; the values must exactly match a
+        single-level oracle there. The tall box fits a split-y pair at p2
+        (FIT_Y2=71 > 62.5 cells) so it routes CANONICALLY."""
         rng = np.random.default_rng(1)
         feats = _pyramid(rng)
-        boxes = jnp.asarray([
-            [0, 0, 255, 40],         # elongated x: p2 -> p3
-            [10, 0, 40, 250],        # elongated y: p2 -> p3
-        ], jnp.float32)
-        got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2, interpret=True)
-        want = ra_ops.roi_align(feats[1], boxes, 7, 1.0 / 8, 2)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+        wide = jnp.asarray([[0, 0, 255, 40]], jnp.float32)   # 63x10 p2 cells -> p4
+        tall = jnp.asarray([[10, 0, 40, 250]], jnp.float32)  # 7x62 p2 cells: split-y, no bump
+        got_w = multilevel_roi_align_pallas(feats, wide, STRIDES, 7, 2, interpret=True)
+        want_w = ra_ops.roi_align(feats[2], wide, 7, 1.0 / 16, 2)
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w), atol=2e-4)
+        got_t = multilevel_roi_align_pallas(feats, tall, STRIDES, 7, 2, interpret=True)
+        want_t = ra_ops.multilevel_roi_align(feats, tall, STRIDES, 7, 2)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), atol=2e-4)
 
     def test_split_is_skipped_for_canonical_boxes(self):
         """Canonical-level boxes must plan a single sub-patch (oy0==oy1 and
@@ -84,7 +88,8 @@ class TestPallasVsOracle:
 
         rng = np.random.default_rng(2)
         xy = rng.uniform(0, 120, (64, 2)).astype(np.float32)
-        side = rng.uniform(16, 100, (64, 1)).astype(np.float32)  # near-square
+        # sides <= 54px = 13.5 p2 cells <= FIT_X1: single window on both axes
+        side = rng.uniform(16, 54, (64, 1)).astype(np.float32)
         boxes = jnp.asarray(np.concatenate([xy, xy + side * rng.uniform(0.8, 1.25, (64, 1)), ], -1))
         boxes = jnp.concatenate([boxes[:, :2], boxes[:, :2] + side], -1)
         level_shapes = [(256 // s, 256 // s) for s in STRIDES]
@@ -148,20 +153,20 @@ class TestResidentKernel:
         rng = np.random.default_rng(9)
         feats = _pyramid(rng)
         boxes = jnp.asarray([
-            [0, 0, 255, 255],        # whole image -> top level
-            [0, 0, 255, 40],         # elongated x (bumped, x-split)
-            [10, 0, 40, 250],        # elongated y (bumped, y-split)
+            [0, 0, 255, 255],        # whole image -> p4, canonical x-split
+            [0, 0, 255, 40],         # 64x10 p2 cells: bumped to p4
+            [10, 0, 40, 250],        # 7x62 p2 cells: split-y, CANONICAL
             [200, 200, 255, 255],    # corner box
             [250, 250, 256, 256],    # edge-touching
             [0, 0, 4, 4],            # tiny
-            [20, 60, 220, 100],      # 50x10 cells at p2: x-split, no bump
+            [20, 60, 220, 100],      # 50x10 p2 cells: bumped to p3, x-split
         ], jnp.float32)
         got = multilevel_roi_align_pallas(feats, boxes, STRIDES, 7, 2,
                                           interpret=True, mode="res")
-        want_multi = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2)
-        want_bumped = ra_ops.roi_align(feats[1], boxes, 7, 1.0 / 8, 2)
-        want = np.array(want_multi)
-        want[1:3] = np.asarray(want_bumped)[1:3]  # documented level bump
+        want = np.array(ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2))
+        # documented level bumps (PARITY.md): wide boxes past FIT_X2 cells
+        want[1] = np.asarray(ra_ops.roi_align(feats[2], boxes[1:2], 7, 1.0 / 16, 2))[0]
+        want[6] = np.asarray(ra_ops.roi_align(feats[1], boxes[6:7], 7, 1.0 / 8, 2))[0]
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
     def test_n_not_multiple_of_step(self):

@@ -43,6 +43,19 @@ def timed(fn, args, n=10):
     return (time.perf_counter() - t0) / n
 
 
+def flops_of(fn, args):
+    """XLA cost-analysis FLOPs of the jitted fn (0 if unavailable)."""
+    import jax
+
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -54,7 +67,8 @@ def main():
                                           CubeRCNN, inference_impl, preprocess)
     from omni3d_tpu.models.rpn import select_proposals
     from omni3d_tpu.models.heads import fast_rcnn_inference, scale_proposals
-    from omni3d_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas_batched
+    from omni3d_tpu.ops.roi_align_pallas import (
+        multilevel_roi_align_pallas_batched, stage_pyramid)
 
     cfg = get_default_cfg()
     cfg.merge_from_file("configs/cubercnn_DLA34_FPN.yaml")
@@ -75,19 +89,26 @@ def main():
 
     print(f"B={B} backend={jax.default_backend()}", file=sys.stderr)
 
-    full = timed(lambda params, imgs: inference_impl(params, model, imgs, Ks, ratios),
-                 (params, imgs))
-    print(f"full step          : {full*1e3:8.2f} ms  ({B/full:7.1f} img/s)", flush=True)
+    stages = {}
+
+    def rec(name, t, extra=""):
+        stages[name] = t * 1e3
+        print(f"{name:<19}: {t*1e3:8.2f} ms{extra}", flush=True)
+
+    full_fn = lambda params, imgs: inference_impl(params, model, imgs, Ks, ratios)
+    full = timed(full_fn, (params, imgs))
+    rec("full step", full, f"  ({B/full:7.1f} img/s)")
+    step_flops = flops_of(full_fn, (params, imgs))
 
     feats_fn = lambda params, imgs: model.apply(params, imgs, method=CubeRCNN.features)
     t = timed(feats_fn, (params, imgs))
-    print(f"backbone+FPN       : {t*1e3:8.2f} ms", flush=True)
+    rec("backbone+FPN", t)
     feats = jax.jit(feats_fn)(params, imgs)
     flist = [feats[f] for f in FEATURE_NAMES]
 
     rpn_fn = lambda params, flist: model.apply(params, flist, method=CubeRCNN.rpn)
     t = timed(rpn_fn, (params, flist))
-    print(f"RPN head convs     : {t*1e3:8.2f} ms", flush=True)
+    rec("RPN head convs", t)
     logits, deltas = jax.jit(rpn_fn)(params, flist)
 
     anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
@@ -105,19 +126,28 @@ def main():
             [d.astype(jnp.float32) for d in deltas]))
 
     t = timed(props_fn, (logits, deltas))
-    print(f"proposal select/NMS: {t*1e3:8.2f} ms", flush=True)
+    rec("proposal select/NMS", t)
     prop_boxes, prop_scores, prop_valid = jax.jit(props_fn)(logits, deltas)
 
-    pool_fn = lambda flist, prop_boxes: multilevel_roi_align_pallas_batched(
-        flist, prop_boxes, list(FEATURE_STRIDES), 7, 2)
-    t = timed(pool_fn, (flist, prop_boxes))
-    print(f"box pooler (1000)  : {t*1e3:8.2f} ms", flush=True)
+    # mirror the model's pooler invocation (rcnn3d.py inference_impl): ONE
+    # staging shared by box + cube pooler, outputs in the feature dtype
+    stage_fn = lambda flist: stage_pyramid(flist)
+    t = timed(stage_fn, (flist,))
+    rec("pyramid staging", t)
+
+    def pool_fn(flist, prop_boxes):
+        staged = stage_pyramid(flist)
+        return multilevel_roi_align_pallas_batched(
+            flist, prop_boxes, list(FEATURE_STRIDES), 7, 2,
+            out_dtype=flist[0].dtype, staged=staged)
+    t = timed(pool_fn, (flist, prop_boxes)) - stages["pyramid staging"] / 1e3
+    rec("box pooler (1000)", t)
     pooled = jax.jit(pool_fn)(flist, prop_boxes)
 
     box_fn = lambda params, pooled: model.apply(
         params, pooled.reshape(B * 1000, *pooled.shape[2:]), method=CubeRCNN.box_branch)
     t = timed(box_fn, (params, pooled))
-    print(f"box head FCs       : {t*1e3:8.2f} ms", flush=True)
+    rec("box head FCs", t)
     scores2d, deltas2d = jax.jit(box_fn)(params, pooled)
     scores2d = scores2d.reshape(B, 1000, C + 1).astype(jnp.float32)
     deltas2d = deltas2d.reshape(B, 1000, C * 4).astype(jnp.float32)
@@ -129,22 +159,49 @@ def main():
         ))(scores2d, deltas2d, prop_boxes, prop_valid)
 
     t = timed(dets_fn, (scores2d, deltas2d, prop_boxes, prop_valid))
-    print(f"per-class NMS      : {t*1e3:8.2f} ms", flush=True)
+    rec("per-class NMS", t)
     dets = jax.jit(dets_fn)(scores2d, deltas2d, prop_boxes, prop_valid)
 
     cube_boxes = scale_proposals(dets["boxes"], scfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
-    poolc_fn = lambda flist, cube_boxes: multilevel_roi_align_pallas_batched(
-        flist, cube_boxes, list(FEATURE_STRIDES), 7, 2)
-    t = timed(poolc_fn, (flist, cube_boxes))
-    print(f"cube pooler (100)  : {t*1e3:8.2f} ms", flush=True)
+
+    def poolc_fn(flist, cube_boxes):
+        staged = stage_pyramid(flist)
+        return multilevel_roi_align_pallas_batched(
+            flist, cube_boxes, list(FEATURE_STRIDES), 7, 2,
+            out_dtype=flist[0].dtype, staged=staged)
+    t = timed(poolc_fn, (flist, cube_boxes)) - stages["pyramid staging"] / 1e3
+    rec("cube pooler (100)", t)
     pooled_cube = jax.jit(poolc_fn)(flist, cube_boxes)
 
     cube_fn = lambda params, pooled_cube: model.apply(
         params, pooled_cube.reshape(B * 100, *pooled_cube.shape[2:]),
         method=CubeRCNN.cube_branch)
     t = timed(cube_fn, (params, pooled_cube))
-    print(f"cube head          : {t*1e3:8.2f} ms", flush=True)
+    rec("cube head", t)
 
+    if len(sys.argv) > 2:
+        import json
+
+        peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind, 0.0)
+        out = {
+            "batch": B, "image_hw": [H, W],
+            "backend": jax.default_backend(),
+            "device_kind": jax.devices()[0].device_kind,
+            "stage_ms": stages,
+            "full_step_ms": stages["full step"],
+            "img_per_s": B / full,
+            "flops_per_step": step_flops,
+            "tflops_per_s": step_flops / full / 1e12 if full else 0.0,
+            "mfu_vs_bf16_peak": (step_flops / full / 1e12 / peak) if peak else None,
+            "peak_tflops_assumed": peak,
+        }
+        with open(sys.argv[2], "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {sys.argv[2]}", file=sys.stderr)
+
+
+PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0,
+               "TPU v5": 459.0, "TPU v6 lite": 918.0}
 
 if __name__ == "__main__":
     main()
