@@ -79,6 +79,31 @@ def main():
     print(f"train step B={B}: {dt*1e3:.2f} ms/step, {B/dt:.1f} img/s "
           f"(loss {float(losses[-1]):.3f})")
 
+    if len(sys.argv) > 2:  # JSON artifact (end-of-round capture ritual)
+        import json
+        import subprocess
+
+        try:
+            flops = run.lower(state, batch, key).compile().cost_analysis()
+            if isinstance(flops, list):
+                flops = flops[0]
+            flops_per_step = float(flops.get("flops", 0.0)) / n
+        except Exception:
+            flops_per_step = 0.0
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True).stdout.strip()
+        out = {
+            "batch": B, "image_hw": [H, W],
+            "ms_per_step": dt * 1e3, "img_per_s": B / dt,
+            "flops_per_step": flops_per_step,
+            "tflops_per_s": flops_per_step / dt / 1e12,
+            "device_kind": jax.devices()[0].device_kind,
+            "git_commit": commit,
+        }
+        with open(sys.argv[2], "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {sys.argv[2]}")
+
 
 if __name__ == "__main__":
     main()

@@ -131,7 +131,7 @@ def main():
 
     # mirror the model's pooler invocation (rcnn3d.py inference_impl): ONE
     # staging shared by box + cube pooler, outputs in the feature dtype
-    stage_fn = lambda flist: stage_pyramid(flist)
+    stage_fn = lambda flist: stage_pyramid(flist).flat  # .flat: jax leaf for timed()
     t = timed(stage_fn, (flist,))
     rec("pyramid staging", t)
 
