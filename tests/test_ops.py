@@ -372,3 +372,39 @@ class TestIoU3D:
             tris[:, 0] * jnp.cross(tris[:, 1], tris[:, 2]), axis=-1
         ) / 6.0
         assert np.isclose(abs(float(contrib.sum())), 24.0, rtol=1e-4)
+
+    def test_self_pairs_far_from_origin(self):
+        # Regression: the coplanarity tolerance must scale with coordinate
+        # magnitude. With an absolute eps, f32 rounding on plane distances
+        # at z~40 exceeded it and self-pair IoU collapsed to 0.
+        rng = np.random.default_rng(7)
+        boxes = []
+        for _ in range(8):
+            dims = rng.uniform(0.3, 3.0, 3)
+            ang = rng.uniform(0, 2 * np.pi, 3)
+            R = np.asarray(G.axis_angle_to_matrix(jnp.asarray(ang, jnp.float32)))
+            c = np.r_[rng.uniform(-4, 4, 2), rng.uniform(30, 45)]
+            boxes.append(
+                np.asarray(
+                    G.cuboid_verts(jnp.asarray(np.r_[c, dims], jnp.float32),
+                                   jnp.asarray(R))
+                )
+            )
+        v = jnp.asarray(np.stack(boxes))
+        _, iou = iou3d_ops.box3d_overlap(v, v)
+        diag = np.asarray(iou).diagonal()
+        np.testing.assert_allclose(diag, 1.0, atol=1e-3)
+
+    def test_batched_matches_pairwise(self):
+        # the SoA batched grid must agree with independent 1x1 evaluations
+        rng = np.random.default_rng(8)
+        mk = lambda: aa_box_verts(*rng.uniform(-2, 2, 3), *rng.uniform(0.5, 3, 3))
+        a = jnp.asarray(np.stack([mk() for _ in range(5)]))
+        b = jnp.asarray(np.stack([mk() for _ in range(4)]))
+        _, grid = iou3d_ops.box3d_overlap(a, b)
+        for i in range(5):
+            for j in range(4):
+                _, one = iou3d_ops.box3d_overlap(a[i : i + 1], b[j : j + 1])
+                np.testing.assert_allclose(
+                    np.asarray(grid)[i, j], np.asarray(one)[0, 0], atol=1e-5
+                )
