@@ -44,6 +44,8 @@ at cubercnn/modeling/roi_heads/roi_heads.py:166-171 via the poolers
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,7 +53,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align_pallas import (PATCH_X, _build_A, _expand_pack,
+from .roi_align_pallas import (PATCH_X, _build_A_rows, _expand_pack,
                                _one_hot_expander, _plan, _window_geom,
                                staging_extent)
 
@@ -153,7 +155,7 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
     prec = (lax.Precision.HIGHEST if dtype == jnp.float32
             else lax.Precision.DEFAULT)
 
-    def kernel(pk_ref, g_ref, w_ref, el_ref, out_ref):
+    def kernel(pk_ref, g_ref, w_ref, el_ref, out_ref, a1_buf):
         b = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -161,19 +163,31 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        A = _build_A(w_ref[0, 0], el_ref, BY, K, P8, XY, dtype, prec)
+        RK = K * P8 * P8
+        base0 = 2 * (b * steps + s) * K
+        q1_here = [pk_ref[base0 + 2 * k] != pk_ref[base0 + 2 * k + 1]
+                   for k in range(K)]
+
+        # q0 half of A always; q1 half only when this step has a split box
+        A0 = _build_A_rows(w_ref[0, 0, :RK], el_ref, BY, XY, dtype, prec
+                           ).reshape(K, P8 * P8, XY)
+        any_q1 = functools.reduce(jnp.logical_or, q1_here)
+
+        @pl.when(any_q1)
+        def _():
+            a1_buf[...] = _build_A_rows(w_ref[0, 0, RK:], el_ref, BY, XY,
+                                        dtype, prec).reshape(K, P8 * P8, XY)
 
         for k in range(K):
-            base = 2 * ((b * steps + s) * K + k)
-            w0 = pk_ref[base]
-            w1 = pk_ref[base + 1]
+            w0 = pk_ref[base0 + 2 * k]
+            w1 = pk_ref[base0 + 2 * k + 1]
             G_k = g_ref[0, 0, k].reshape(P8 * P8, C)
 
-            def accum(word, q):
+            def accum(word, A_k):
                 xc = word & ((1 << 18) - 1)
                 row = pl.multiple_of(word >> 18, ALIGN)
                 dp = lax.dot_general(
-                    A[k, q], G_k, (((0,), (0,)), ((), ())),
+                    A_k, G_k, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 ).reshape(PATCH_X, BY, C)
                 cur = out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, BY), :]
@@ -181,13 +195,13 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
                     cur + dp
                 ).astype(out_ref.dtype)
 
-            accum(w0, 0)
+            accum(w0, A0[k])
 
             # compact boxes carry a zero q1 weight block — skip its matmul
             # and RMW entirely
-            @pl.when(w0 != w1)
+            @pl.when(q1_here[k])
             def _():
-                accum(w1, 1)
+                accum(w1, a1_buf[k])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -199,12 +213,13 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
             pl.BlockSpec((1, 1, K * 2 * P8 * P8, lanes),
                          lambda b, s, *_: (b, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PATCH_X, XY), lambda b, s, *_: (0, 0),
+            pl.BlockSpec((BY + PATCH_X, XY), lambda b, s, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows_tot, Hp, C),
                                lambda b, s, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K, P8 * P8, XY), dtype)],
     )
 
     acc = pl.pallas_call(

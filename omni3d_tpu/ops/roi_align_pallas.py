@@ -327,9 +327,14 @@ def multilevel_roi_align_pallas(features, boxes, strides, out_size: int = 7,
 
 
 def _expand_pack(wy, wx, BY, P, K, dtype):
-    """Pack per-box factors for the in-kernel A build: (n/K, K*2*P8*P8, 128)
+    """Pack per-box factors for the in-kernel A build: (n/K, 2*K*P8*P8, 128)
     with lanes [0:BY) holding wy_exp[r, y] = wy[r // P8, y] and lanes
-    [BY:BY+PATCH_X) wx_exp[r, x] = wx[r % P8, x]."""
+    [BY:BY+PATCH_X) wx_exp[r, x] = wx[r % P8, x].
+
+    Rows are Q-MAJOR per step — all K boxes' q0 rows first, then all q1 —
+    so kernels can build the q0 half of A unconditionally and the q1 half
+    only when the step actually contains a split box (compact boxes — the
+    vast majority — carry an exactly-zero q1 block that is never read)."""
     P8 = -(-P // 8) * 8
     wy8 = jnp.pad(wy, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
     wx8 = jnp.pad(wx, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
@@ -341,32 +346,46 @@ def _expand_pack(wy, wx, BY, P, K, dtype):
          jnp.zeros(wy_exp.shape[:3] + (lanes - BY - PATCH_X,), wy_exp.dtype)],
         -1)
     n = wy.shape[0]
-    wboth = wboth.reshape(n // K, K * 2 * P8 * P8, lanes)
+    wboth = wboth.reshape(n // K, K, 2, P8 * P8, lanes)
+    wboth = wboth.transpose(0, 2, 1, 3, 4).reshape(n // K, 2 * K * P8 * P8,
+                                                   lanes)
     if jnp.dtype(dtype).itemsize <= 2:
         wboth = wboth.astype(dtype)
     return wboth, lanes
 
 
 def _one_hot_expander(BY, dtype):
-    """EL[x, x*BY + y] = 1 lifts the compact wx factor onto the (x, y) lane
-    grid with one small MXU dot."""
+    """Stacked one-hot lifts onto the (x, y) lane grid, both via one small
+    MXU dot each: rows [0:BY) are ELy[y, x*BY + y] = 1 (the wy factor is
+    tile-repeated across x), rows [BY:BY+PATCH_X) are ELx[x, x*BY + y] = 1
+    (the wx factor broadcasts along y). MXU expansion replaces the previous
+    16-way lane concatenate of the wy factor, which cost ~1.5 MB of VPU
+    writes per grid step."""
     XY = PATCH_X * BY
-    el = np.zeros((PATCH_X, XY), np.float32)
+    el = np.zeros((BY + PATCH_X, XY), np.float32)
     for x in range(PATCH_X):
-        el[x, x * BY:(x + 1) * BY] = 1.0
+        for y in range(BY):
+            el[y, x * BY + y] = 1.0
+        el[BY + x, x * BY:(x + 1) * BY] = 1.0
     return jnp.asarray(el, dtype)
 
 
-def _build_A(w_ref, el_ref, BY, K, P8, XY, dtype, prec):
-    """A (K, 2, P8*P8, XY): A[..., r, x*BY+y] = wy_exp[r,y] * wx_exp[r,x]."""
-    wy_e = w_ref[:, :BY]
-    wx_e = w_ref[:, BY:BY + PATCH_X]
-    t1 = jnp.concatenate([wy_e] * PATCH_X, axis=1)  # [x*BY+y] = wy[y]
+def _build_A_rows(w_rows, el_ref, BY, XY, dtype, prec):
+    """A rows (R, XY) from packed factors: A[r, x*BY+y] = wy[r, y]*wx[r, x].
+
+    Both factors are lifted by one-hot dots (exact selection — accumulation
+    in f32 touches single products only), so the build is two MXU passes
+    plus one elementwise multiply; no lane concatenates."""
+    t1 = lax.dot_general(
+        w_rows[:, :BY], el_ref[:BY], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dtype)                                 # [x*BY+y] = wy[y]
     wxl = lax.dot_general(
-        wx_e, el_ref[...], (((1,), (0,)), ((), ())),
+        w_rows[:, BY:BY + PATCH_X], el_ref[BY:BY + PATCH_X],
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     ).astype(dtype)                                 # [x*BY+y] = wx[x]
-    return (t1 * wxl).reshape(K, 2, P8 * P8, XY)
+    return t1 * wxl
 
 
 def multilevel_roi_align_pallas_batched(features, boxes, strides,
@@ -482,7 +501,7 @@ def _pool_dma(features, boxes, strides, out_size, sampling_ratio, min_level,
     def kernel(*args):
         pk_ref = args[0]
         flat_ref = args[1]
-        w_ref, el_ref, out_ref, patch_buf, sem_q0, sem_q1 = args[2:]
+        w_ref, el_ref, out_ref, patch_buf, a1_buf, sem_q0, sem_q1 = args[2:]
         i = pl.program_id(0)
         num = pl.num_programs(0)
         prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
@@ -551,22 +570,35 @@ def _pool_dma(features, boxes, strides, out_size, sampling_ratio, min_level,
                     sem_q1.at[slot, k],
                 ).wait()
 
-        A = _build_A(w_ref[0], el_ref, BY, K, P8, XY, dtype, prec)
+        # q0 half of A always; q1 half only when this step has a split box
+        RK = K * P8 * P8
+        A0 = _build_A_rows(w_ref[0, :RK], el_ref, BY, XY, dtype, prec
+                           ).reshape(K, P8 * P8, XY)
+        any_q1 = functools.reduce(jnp.logical_or, q1_here)
+
+        @pl.when(any_q1)
+        def _():
+            a1_buf[...] = _build_A_rows(w_ref[0, RK:], el_ref, BY, XY, dtype,
+                                        prec).reshape(K, P8 * P8, XY)
 
         # ONE clean 2D matmul per (box, sub-window): the window's free
-        # ((x, y), C) view is the rhs, A the lhs; q1 contributes exact zeros
-        # for compact boxes (its A block is zero)
+        # ((x, y), C) view is the rhs, A the lhs; compact boxes skip the
+        # q1 matmul (their A1 block is exactly zero and never built)
         for k in range(K):
             pq0 = patch_buf[slot, 0, k].reshape(XY, C)
             acc = jax.lax.dot_general(
-                A[k, 0], pq0, (((1,), (0,)), ((), ())),
+                A0[k], pq0, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            pq1 = patch_buf[slot, 1, k].reshape(XY, C)
-            acc = acc + jax.lax.dot_general(
-                A[k, 1], pq1, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+
+            def with_q1(acc=acc, k=k):
+                pq1 = patch_buf[slot, 1, k].reshape(XY, C)
+                return acc + jax.lax.dot_general(
+                    a1_buf[k], pq1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+            acc = jax.lax.cond(q1_here[k], with_q1, lambda acc=acc, k=k: acc)
             r = acc.reshape(P8, P8, C)  # rows r=(py, px): free sublane split
             out_ref[k] = r[:P, :P, :].astype(out_ref.dtype)
 
@@ -577,13 +609,14 @@ def _pool_dma(features, boxes, strides, out_size, sampling_ratio, min_level,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, K * 2 * P8 * P8, lanes), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PATCH_X, XY), lambda i, *_: (0, 0),
+            pl.BlockSpec((BY + PATCH_X, XY), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((K, P, P, C), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 2, K, PATCH_X, BY, C), dtype),
+            pltpu.VMEM((K, P8 * P8, XY), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, K)),
         ],
@@ -657,16 +690,28 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
-    def kernel(pk_ref, plane_ref, w_ref, el_ref, out_ref, acc_ref):
+    def kernel(pk_ref, plane_ref, w_ref, el_ref, out_ref, acc_ref, a1_buf):
         b = pl.program_id(0)
         s = pl.program_id(1)
 
-        A = _build_A(w_ref[0, 0], el_ref, BY, K, P8, XY, dtype, prec)
+        RK = K * P8 * P8
+        base0 = 2 * (b * steps + s) * K
+        q1_here = [pk_ref[base0 + 2 * k] != pk_ref[base0 + 2 * k + 1]
+                   for k in range(K)]
+
+        # q0 half of A always; q1 half only when this step has a split box
+        A0 = _build_A_rows(w_ref[0, 0, :RK], el_ref, BY, XY, dtype, prec
+                           ).reshape(K, P8 * P8, XY)
+        any_q1 = functools.reduce(jnp.logical_or, q1_here)
+
+        @pl.when(any_q1)
+        def _():
+            a1_buf[...] = _build_A_rows(w_ref[0, 0, RK:], el_ref, BY, XY,
+                                        dtype, prec).reshape(K, P8 * P8, XY)
 
         for k in range(K):
-            base = 2 * ((b * steps + s) * K + k)
-            w0 = pk_ref[base]
-            w1 = pk_ref[base + 1]
+            w0 = pk_ref[base0 + 2 * k]
+            w1 = pk_ref[base0 + 2 * k + 1]
 
             def window(word):
                 xc = word & ((1 << 18) - 1)
@@ -676,15 +721,15 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
                 ].reshape(XY, C)
 
             acc_ref[k] = lax.dot_general(
-                A[k, 0], window(w0), (((1,), (0,)), ((), ())),
+                A0[k], window(w0), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
             # compact boxes carry a zero q1 weight block — skip its matmul
-            @pl.when(w0 != w1)
+            @pl.when(q1_here[k])
             def _():
                 acc_ref[k] = acc_ref[k] + lax.dot_general(
-                    A[k, 1], window(w1), (((1,), (0,)), ((), ())),
+                    a1_buf[k], window(w1), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
 
@@ -701,13 +746,14 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
             pl.BlockSpec((1, 1, K * 2 * P8 * P8, lanes),
                          lambda b, s, *_: (b, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PATCH_X, XY), lambda b, s, *_: (0, 0),
+            pl.BlockSpec((BY + PATCH_X, XY), lambda b, s, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, K, P, P, C),
                                lambda b, s, *_: (b, s, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((K, P8 * P8, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, P8 * P8, C), jnp.float32),
+                        pltpu.VMEM((K, P8 * P8, XY), dtype)],
     )
 
     out = pl.pallas_call(
