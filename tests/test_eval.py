@@ -76,6 +76,65 @@ class TestBox3DOverlap:
     def test_empty(self):
         assert box3d_overlap(np.zeros((0, 8, 3)), np.zeros((3, 8, 3))).shape == (0, 3)
 
+    def test_precompute_matches_wrapper_path(self):
+        # The batched tiled precompute (one fixed-shape call for all
+        # (image, category) groups, groups split across 8x8 tiles) must give
+        # bit-identical evaluation results to the per-group wrapper path.
+        # Groups are sized PAST the tile edge (12 dets x 10 gts) so the
+        # tile-splitting and score-sort/truncation logic is exercised.
+        rng = np.random.default_rng(3)
+        gts, dts = [], []
+        gid = did = 1
+        for img in range(3):
+            for cat in (1, 2):
+                gverts = []
+                for _ in range(10):
+                    z = rng.uniform(2, 30)
+                    c = [rng.uniform(-3, 3), rng.uniform(-2, 2), z]
+                    dims = rng.uniform(0.5, 2.5, 3)
+                    v = np.asarray(G.cuboid_verts(
+                        jnp.asarray([*c, *dims], jnp.float32)))
+                    gverts.append(v)
+                    x, y, w, h = rng.uniform(0, 80), rng.uniform(0, 80), 20, 20
+                    gts.append({
+                        "id": gid, "image_id": img, "category_id": cat,
+                        "bbox": [x, y, w, h], "area": w * h, "depth": z,
+                        "ignore2D": False, "ignore3D": False,
+                        "bbox3D": v.tolist(),
+                    })
+                    gid += 1
+                for d in range(12):
+                    v = (gverts[d % 10]
+                         + rng.normal(0, 0.1, 3)[None]).astype(np.float32)
+                    dts.append({
+                        "id": did, "image_id": img, "category_id": cat,
+                        "bbox": [rng.uniform(0, 80), rng.uniform(0, 80), 20, 20],
+                        "area": 400.0, "depth": float(v[:, 2].mean()),
+                        "score": float(rng.uniform(0.05, 1.0)),
+                        "bbox3D": v.tolist(),
+                    })
+                    did += 1
+
+        ev_pre = Omni3DEval([dict(g) for g in gts], [dict(d) for d in dts],
+                            mode="3D")
+        ev_pre.evaluate()
+        ev_pre.accumulate()
+        res_pre = ev_pre.summarize()
+
+        ev_wrap = Omni3DEval([dict(g) for g in gts], [dict(d) for d in dts],
+                             mode="3D")
+        ev_wrap._precompute_iou3d = lambda: None  # force the wrapper path
+        ev_wrap.evaluate()
+        ev_wrap.accumulate()
+        res_wrap = ev_wrap.summarize()
+
+        for k, a in res_pre.items():
+            b = res_wrap[k]
+            if isinstance(a, float) and np.isnan(a):
+                assert np.isnan(b), k
+            else:
+                assert a == b, (k, a, b)
+
 
 class TestOmni3DEval:
     def test_perfect_predictions_ap100(self):
