@@ -162,6 +162,50 @@ def main():
     rec("per-class NMS", t)
     dets = jax.jit(dets_fn)(scores2d, deltas2d, prop_boxes, prop_valid)
 
+    # --- sub-stage split of the two NMS-bearing stages (where does the
+    # time go: top_k, decode, or the NMS fixpoint itself?) ---
+    import jax.numpy as _jnp
+    from omni3d_tpu.ops import nms as nms_ops
+    from omni3d_tpu.utils import boxes as box_ops
+
+    def topk_flat_fn(scores2d):
+        # the (P*C,) candidate top-k inside fast_rcnn_inference
+        probs = jax.nn.softmax(scores2d, axis=-1)[..., :C]
+        flat = probs.reshape(B, -1)
+        return jax.vmap(lambda f: jax.lax.top_k(f, 1024))(flat)
+    t = timed(topk_flat_fn, (scores2d,))
+    rec("  nms: flat top_k", t)
+    top_scores, top_idx = jax.jit(topk_flat_fn)(scores2d)
+
+    def decode_fn(deltas2d, prop_boxes):
+        # per-class decode of ALL P*C boxes (current layout)
+        bx = box_ops.decode_deltas(
+            deltas2d.reshape(B, 1000, C, 4), prop_boxes[:, :, None, :],
+            tuple(scfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS))
+        return box_ops.clip_boxes(bx, image_hw[0], image_hw[1])
+    t = timed(decode_fn, (deltas2d, prop_boxes))
+    rec("  nms: decode all", t)
+    boxes_pc = jax.jit(decode_fn)(deltas2d, prop_boxes)
+
+    def nms_only_fn(boxes_pc, top_scores, top_idx):
+        cand = jax.vmap(lambda bp, ti: bp.reshape(-1, 4)[ti])(boxes_pc, top_idx)
+        cls = top_idx % C
+        return jax.vmap(lambda b, s, c: nms_ops.batched_nms_indices(
+            b, s, c, 0.5, 100, s > 0.01))(cand, top_scores, cls)
+    t = timed(nms_only_fn, (boxes_pc, top_scores, top_idx))
+    rec("  nms: batched NMS", t)
+
+    def rpn_topk_fn(logits):
+        # per-level pre-NMS top_k inside select_proposals
+        outs = []
+        for lg in logits:
+            flat = lg.astype(_jnp.float32).reshape(B, -1)
+            k = min(1000, flat.shape[1])
+            outs.append(jax.vmap(lambda f: jax.lax.top_k(f, k))(flat)[0])
+        return outs
+    t = timed(rpn_topk_fn, (logits,))
+    rec("  rpn: level top_k", t)
+
     cube_boxes = scale_proposals(dets["boxes"], scfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES)
 
     def poolc_fn(flist, cube_boxes):
