@@ -17,6 +17,7 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     mode = sys.argv[3] if len(sys.argv) > 3 else None  # dma | res | auto
+    K = int(sys.argv[4]) if len(sys.argv) > 4 else None  # boxes_per_step
     C = 256
     STRIDES = [4, 8, 16, 32, 64]
     rng = np.random.default_rng(0)
@@ -36,7 +37,8 @@ def main():
         def body(carry, _):
             f0 = [feats[0] + carry.astype(feats[0].dtype) * 1e-12] + feats[1:]
             out = multilevel_roi_align_pallas_batched(f0, boxes, STRIDES, 7, 2,
-                                                      mode=mode)
+                                                      mode=mode,
+                                                      boxes_per_step=K)
             return carry + out.ravel()[0] * 1e-12, ()
 
         c, _ = lax.scan(body, jnp.float32(0), None, length=n)
@@ -46,8 +48,8 @@ def main():
     t0 = time.perf_counter()
     float(run(feats, boxes))
     dt = (time.perf_counter() - t0) / n
-    print(f"pooler B={B} N={N} mode={mode or 'auto'}: {dt*1e3:.2f} ms/call "
-          f"({B*N/dt/1e6:.2f} Mboxes/s)")
+    print(f"pooler B={B} N={N} mode={mode or 'auto'} K={K or 'def'}: "
+          f"{dt*1e3:.2f} ms/call ({B*N/dt/1e6:.2f} Mboxes/s)")
 
 
 if __name__ == "__main__":
