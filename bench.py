@@ -3,11 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-Measurement notes: the axon TPU tunnel has ~25 ms host<->device round-trip
+Measurement notes: the axon TPU tunnel has ~26 ms host<->device round-trip
 latency, so a dispatch-per-step loop measures the tunnel, not the chip. We
 instead run N inference steps inside ONE jitted `lax.scan` with a
 data-dependent carry (so XLA cannot hoist or elide iterations) and fetch a
-single scalar at the end; RTT is amortized to noise.
+single scalar at the end; the FIXED per-call RTT is calibrated once with an
+empty scan and subtracted (utils/benchtime.py) — at N=30 the uncorrected
+residual would still be ~0.9 ms/step, a 16% error on a ~5 ms bs=1 step.
 
 Baseline context: the reference (facebookresearch/omni3d) publishes no
 throughput numbers (BASELINE.md). The north star is >=5x an A100 running the
@@ -46,6 +48,10 @@ def main():
     from omni3d_tpu.config.cfg import StaticCfg
     from omni3d_tpu.config.defaults import get_default_cfg
     from omni3d_tpu.models.rcnn3d import CubeRCNN, inference_impl, preprocess
+    from omni3d_tpu.utils.benchtime import calibrate_rtt
+
+    rtt = calibrate_rtt()
+    print(f"# calibrated per-call RTT: {rtt*1e3:.2f} ms", file=sys.stderr)
 
     cfg = get_default_cfg()
     cfg.merge_from_file("configs/cubercnn_DLA34_FPN.yaml")
@@ -72,9 +78,14 @@ def main():
         def run_n(params, imgs):
             def body(carry, _):
                 out = inference_impl(params, model, carry, Ks, ratios)
-                # data-dependent carry defeats CSE/hoisting across iterations
-                carry = carry + out["scores"].sum() * 1e-12
-                return carry, out["scores"].sum()
+                # data-dependent carry defeats CSE/hoisting across iterations;
+                # consume one element of EVERY output (scores alone lets XLA
+                # dead-code-eliminate the pose/dims/corners decode tails)
+                chk = out["scores"].sum()
+                for leaf in jax.tree.leaves(out):
+                    chk = chk + leaf.ravel()[0].astype(jnp.float32)
+                carry = carry + chk * 1e-12
+                return carry, chk
 
             carry, sums = lax.scan(body, imgs, None, length=N_ITER)
             return sums.sum()
@@ -82,7 +93,7 @@ def main():
         float(run_n(params, imgs))  # compile + 1 run
         t0 = time.perf_counter()
         s = float(run_n(params, imgs))
-        dt = (time.perf_counter() - t0) / N_ITER
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / N_ITER
         ips = bs / dt
         print(f"# bs={bs}: {dt * 1e3:.2f} ms/step, {ips:.1f} img/s (checksum {s:.3f})",
               file=sys.stderr)

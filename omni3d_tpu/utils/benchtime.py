@@ -1,0 +1,48 @@
+"""RTT-calibrated wall-clock timing for single-chip benchmarks.
+
+The axon TPU tunnel costs a FIXED ~26 ms host<->device round-trip per
+device call, independent of the work inside (measured: an empty 1/10/100-
+iteration lax.scan all take ~26.1-26.7 ms). Benchmarks that amortize over n
+scan iterations therefore over-report every step by rtt/n — at n=10 that is
+~2.6 ms/step, which swamps small stages (a bs=1 inference step is ~5 ms).
+
+`calibrate_rtt()` measures the fixed per-call cost once (empty-body scan);
+`timed_call()` subtracts it from each timed call before dividing by n. The
+residual error is the RTT jitter (~0.3 ms) divided by n.
+"""
+import time
+
+
+def calibrate_rtt(n: int = 10, reps: int = 3) -> float:
+    """Fixed per-device-call overhead in seconds (min over reps)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def empty(x):
+        def body(c, _):
+            return c + x.ravel()[0] * 1e-12, ()
+        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    x = jnp.ones((8, 128))
+    float(empty(x))  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(empty(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timed_call(run, args, n: int, rtt: float, reps: int = 2) -> float:
+    """Per-iteration seconds of `run(args)` (a compiled n-iteration scan),
+    with the fixed per-call RTT subtracted. Takes the min over reps."""
+    float(run(args))  # warm (compile on first use)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 0.0) / n

@@ -45,9 +45,12 @@ def main():
         return c
 
     float(run(feats, boxes))
+    from omni3d_tpu.utils.benchtime import calibrate_rtt
+
+    rtt = calibrate_rtt()
     t0 = time.perf_counter()
     float(run(feats, boxes))
-    dt = (time.perf_counter() - t0) / n
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n
     print(f"pooler B={B} N={N} mode={mode or 'auto'} K={K or 'def'}: "
           f"{dt*1e3:.2f} ms/call ({B*N/dt/1e6:.2f} Mboxes/s)")
 

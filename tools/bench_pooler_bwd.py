@@ -49,9 +49,12 @@ def main():
         return c
 
     float(run(feats, boxes, g))
+    from omni3d_tpu.utils.benchtime import calibrate_rtt
+
+    rtt = calibrate_rtt()
     t0 = time.perf_counter()
     float(run(feats, boxes, g))
-    dt = (time.perf_counter() - t0) / n
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n
     print(f"bwd pooler B={B} N={N}: {dt*1e3:.2f} ms/call "
           f"({B*N/dt/1e6:.2f} Mboxes/s)")
 

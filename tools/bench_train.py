@@ -70,12 +70,15 @@ def main():
         (st, _), losses = lax.scan(body, (state, key), None, length=n)
         return st, losses
 
+    from omni3d_tpu.utils.benchtime import calibrate_rtt
+
+    rtt = calibrate_rtt()
     st, losses = run(state, batch, key)
     float(losses[-1])  # device->host forces completion (axon tunnel)
     t0 = time.perf_counter()
     st, losses = run(state, batch, key)
     float(losses[-1])
-    dt = (time.perf_counter() - t0) / n
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n
     print(f"train step B={B}: {dt*1e3:.2f} ms/step, {B/dt:.1f} img/s "
           f"(loss {float(losses[-1]):.3f})")
 

@@ -2,16 +2,22 @@
 
 Times each pipeline stage inside a jitted lax.scan (same methodology as
 bench.py: amortizes the axon tunnel RTT) so the per-stage costs sum to
-roughly the end-to-end step cost. All arrays are passed as jit arguments
+roughly the end-to-end step cost. The FIXED ~26 ms per-device-call tunnel
+RTT is calibrated once (empty scan) and subtracted from every measurement —
+at n=10 the uncorrected inflation is ~2.6 ms/stage, which swamps small
+stages (utils/benchtime.py). All arrays are passed as jit arguments
 (closing over device arrays bakes them into the HLO as literals, which the
 axon remote-compile endpoint rejects at >100MB).
 """
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from omni3d_tpu.utils.benchtime import calibrate_rtt, timed_call  # noqa: E402
+
+_RTT = None
 
 
 def timed(fn, args, n=10):
@@ -19,28 +25,38 @@ def timed(fn, args, n=10):
     import jax.numpy as jnp
     from jax import lax
 
+    global _RTT
+    if _RTT is None:
+        _RTT = calibrate_rtt()
+        print(f"calibrated per-call RTT: {_RTT*1e3:.2f} ms", file=sys.stderr)
+
     @jax.jit
     def run(args):
         def body(carry, _):
-            # perturb the first float input by the carry so every iteration
-            # depends on the previous one — XLA cannot hoist the body out of
-            # the scan (the bench.py methodology)
-            leaves, treedef = jax.tree.flatten(args)
-            for i, leaf in enumerate(leaves):
-                if jnp.issubdtype(leaf.dtype, jnp.inexact):
-                    leaves[i] = leaf + carry.astype(leaf.dtype) * 1e-12
-                    break
-            out = fn(*jax.tree.unflatten(treedef, leaves))
-            leaf = jax.tree.leaves(out)[0]
-            return carry + leaf.ravel()[0].astype(jnp.float32) * 1e-12, ()
+            # perturb EVERY inexact input by the carry so every iteration
+            # depends on the previous one — with only one perturbed leaf,
+            # XLA hoists all compute not downstream of it out of the scan
+            # (e.g. the deltas decode of the NMS stage) and the stage
+            # under-reports. Costs one elementwise add per input.
+            perturbed = jax.tree.map(
+                lambda leaf: leaf + carry.astype(leaf.dtype) * 1e-12
+                if jnp.issubdtype(leaf.dtype, jnp.inexact) else leaf,
+                args,
+            )
+            out = fn(*perturbed)
+            # consume ONE element of EVERY output leaf: forcing only the
+            # first leaf lets XLA dead-code-eliminate sibling outputs (e.g.
+            # 4 of 5 RPN levels, or the whole cube branch of the full step
+            # whose outputs don't feed "boxes") and under-report the stage
+            acc = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            return carry + acc * 1e-12, ()
 
         c, _ = lax.scan(body, jnp.float32(0), None, length=n)
         return c
 
-    float(run(args))
-    t0 = time.perf_counter()
-    float(run(args))
-    return (time.perf_counter() - t0) / n
+    return timed_call(run, args, n, _RTT)
 
 
 def flops_of(fn, args):
@@ -238,6 +254,7 @@ def main():
             "tflops_per_s": step_flops / full / 1e12 if full else 0.0,
             "mfu_vs_bf16_peak": (step_flops / full / 1e12 / peak) if peak else None,
             "peak_tflops_assumed": peak,
+            "rtt_ms_subtracted": _RTT * 1e3,
         }
         with open(sys.argv[2], "w") as f:
             json.dump(out, f, indent=2)

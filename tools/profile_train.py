@@ -31,16 +31,26 @@ def timed(fn, args, n=10):
                 args,
             )
             out = fn(*perturbed)
-            leaf = jax.tree.leaves(out)[0]
-            return carry + leaf.ravel()[0].astype(jnp.float32) * 1e-12, ()
+            # consume ONE element of EVERY output leaf: forcing only the
+            # first leaf lets XLA dead-code-eliminate sibling outputs
+            acc = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            return carry + acc * 1e-12, ()
 
         c, _ = lax.scan(body, jnp.float32(0), None, length=n)
         return c
 
-    float(run(args))
-    t0 = time.perf_counter()
-    float(run(args))
-    return (time.perf_counter() - t0) / n
+    from omni3d_tpu.utils.benchtime import calibrate_rtt, timed_call
+
+    global _RTT
+    if _RTT is None:
+        _RTT = calibrate_rtt()
+        print(f"calibrated per-call RTT: {_RTT*1e3:.2f} ms", file=sys.stderr)
+    return timed_call(run, args, n, _RTT)
+
+
+_RTT = None
 
 
 def main():
