@@ -108,6 +108,10 @@ def main():
         "baseline_note": ("vs an ESTIMATED A100 anchor of "
                           f"{A100_REF_IMG_S} img/s — the reference publishes "
                           "no throughput number (BASELINE.md)"),
+        # auditability across rounds (advisor r4): r01-r03 BENCH numbers did
+        # NOT subtract the tunnel RTT (~0.9 ms/step at N_ITER=30: ~1% at
+        # bs=32, ~16% at bs=1); r04+ numbers do, by this amount
+        "rtt_ms_subtracted": round(rtt * 1e3, 3),
     }))
 
 

@@ -212,6 +212,10 @@ def get_default_cfg() -> CN:
                                             # (final detections: TEST.DETECTIONS_PER_IMAGE)
     cfg.TPU.ROI_SAMPLING_RATIO = 0          # 0 = torchvision adaptive grid
                                             # (reference-exact); >0 = static S
+    cfg.TPU.POOLER_EXACT_ROUTING = False    # True: pool with the XLA-gather
+                                            # oracle (canonical detectron2
+                                            # level routing, no level-bump
+                                            # deviation; slower — parity runs)
     cfg.TPU.TRAIN_SIZE_BUCKETS = 8          # multi-scale train shapes bucketed
                                             # to N compiles; must exceed the
                                             # aspect-group count or every batch

@@ -179,6 +179,18 @@ def compute_losses(params, batch_stats, batch, rng, model: CubeRCNN, cfg,
 
     # ---- box branch ----
     def pool(boxes_b):
+        if cfg.TPU.POOLER_EXACT_ROUTING:
+            # XLA-gather oracle with canonical level routing; pooling is
+            # linear in the features so plain autodiff gives the exact
+            # transpose (scatter-add) backward — slower, for parity runs
+            from ..ops.roi_align import multilevel_roi_align
+
+            return jax.vmap(
+                lambda fl, bx: multilevel_roi_align(
+                    list(fl), bx, list(FEATURE_STRIDES),
+                    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+                    cfg.TPU.ROI_SAMPLING_RATIO)
+            )(list(flist), boxes_b)
         # pallas forward + pallas/XLA-transpose backward (linear op, exact VJP)
         return multilevel_roi_align_fast(
             tuple(flist), boxes_b, FEATURE_STRIDES,

@@ -278,6 +278,7 @@ def inference_impl(params, model: CubeRCNN, images, Ks, im_scales_ratio,
             feats_b, boxes_b, list(FEATURE_STRIDES),
             cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION, sampling_ratio,
             out_dtype=feats_b[0].dtype, staged=staged,
+            exact_routing=cfg.TPU.POOLER_EXACT_ROUTING,
         )
 
     pooled = pool_box(flist, prop_boxes)
@@ -311,6 +312,7 @@ def _cube_branch_outputs(params, model, flist, dets, Ks, im_scales_ratio,
         flist, cube_boxes, list(FEATURE_STRIDES),
         cfg.MODEL.ROI_CUBE_HEAD.POOLER_RESOLUTION, sampling_ratio,
         out_dtype=flist[0].dtype, staged=staged,
+        exact_routing=cfg.TPU.POOLER_EXACT_ROUTING,
     )
     cube_out = model.apply(
         params, pooled_cube.reshape(B * topk, *pooled_cube.shape[2:]),

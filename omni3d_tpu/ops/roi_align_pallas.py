@@ -78,6 +78,9 @@ from .roi_align import _num_samples, _sample_grid_1d, assign_fpn_levels
 PATCH_X = 16    # x window: origins are outer-dim offsets, no alignment slack
 BY_DMA = 40     # y window for DMA mode: 8-aligned origins (HBM sublane
                 # granularity), <=7 slack + <=31-cell extent + 2 taps
+CHUNK_Y = 32    # resident-mode y base chunk: windows are read as a 32-row
+                # base + conditional (BY-32)-row tail; a multiple of both
+                # sublane aligns (8/16) so the tail offset stays aligned
 
 # Level-routing fit caps in tap-extent CELLS at the pooled level,
 # deliberately GEOMETRY-INDEPENDENT (min over the (40,8)/(48,16) window
@@ -354,19 +357,35 @@ def _expand_pack(wy, wx, BY, P, K, dtype):
     return wboth, lanes
 
 
-def _one_hot_expander(BY, dtype):
+def _one_hot_expander(BY, dtype, chunk=None):
     """Stacked one-hot lifts onto the (x, y) lane grid, both via one small
-    MXU dot each: rows [0:BY) are ELy[y, x*BY + y] = 1 (the wy factor is
-    tile-repeated across x), rows [BY:BY+PATCH_X) are ELx[x, x*BY + y] = 1
+    MXU dot each: rows [0:BY) are ELy[y, lane(x, y)] = 1 (the wy factor is
+    tile-repeated across x), rows [BY:BY+PATCH_X) are ELx[x, lane(x, y)] = 1
     (the wx factor broadcasts along y). MXU expansion replaces the previous
     16-way lane concatenate of the wy factor, which cost ~1.5 MB of VPU
-    writes per grid step."""
+    writes per grid step.
+
+    lane(x, y) = x*BY + y by default (matches an (PATCH_X, BY, C) window
+    read flattened to ((x, y), C)). With `chunk`=Y0 the lanes are
+    CHUNK-PARTITIONED: lanes [0, PATCH_X*Y0) hold the y<Y0 sub-block in
+    x*Y0+y order and the rest the y>=Y0 tail in x*(BY-Y0)+(y-Y0) order —
+    each block then matches a separate chunked window read, letting the
+    resident kernel skip the tail read+matmul for y-compact boxes whose
+    tail weight block is exactly zero."""
     XY = PATCH_X * BY
+
+    def lane(x, y):
+        if chunk is None:
+            return x * BY + y
+        if y < chunk:
+            return x * chunk + y
+        return PATCH_X * chunk + x * (BY - chunk) + (y - chunk)
+
     el = np.zeros((BY + PATCH_X, XY), np.float32)
     for x in range(PATCH_X):
         for y in range(BY):
-            el[y, x * BY + y] = 1.0
-        el[BY + x, x * BY:(x + 1) * BY] = 1.0
+            el[y, lane(x, y)] = 1.0
+            el[BY + x, lane(x, y)] = 1.0
     return jnp.asarray(el, dtype)
 
 
@@ -396,7 +415,8 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
                                         out_dtype=None,
                                         staged: Staged | None = None,
                                         boxes_per_step: int | None = None,
-                                        mode: str | None = None):
+                                        mode: str | None = None,
+                                        exact_routing: bool = False):
     """Batched pallas ROIAlign over an FPN pyramid.
 
     NOTE: do NOT jax.vmap the single-image version — the kernels drive their
@@ -414,8 +434,11 @@ def multilevel_roi_align_pallas_batched(features, boxes, strides,
         interpret = not on_tpu
     B, N = boxes.shape[:2]
     C = features[0].shape[-1]
-    if ((auto and not on_tpu) or (not interpret and C % 128)
+    if (exact_routing or (auto and not on_tpu) or (not interpret and C % 128)
             or jnp.dtype(features[0].dtype).itemsize < 2):
+        # `exact_routing` (cfg TPU.POOLER_EXACT_ROUTING) forces the oracle:
+        # canonical detectron2 level assignment with no level-bump routing
+        # deviation (PARITY.md #2) — slower, for parity runs.
         # Fallbacks to the XLA-gather oracle: (a) auto-dispatch off-TPU —
         # interpret-mode pallas re-runs the grid in Python and is orders of
         # magnitude slower than the compiled oracle (tests opt back in with
@@ -664,10 +687,25 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
     wy = wy.reshape(NB, 2, P, BY)
     wx = wx.reshape(NB, 2, P, PATCH_X)
 
+    # y-chunk tail flags: windows are read as a CHUNK_Y-row base + a
+    # conditional (BY-CHUNK_Y)-row tail per sub-window. The tail flag is 1
+    # exactly when that sub-window's tail weight block (local y >= CHUNK_Y)
+    # is nonzero, so skipping the tail read+matmul is exact — the same
+    # zero-block argument as the q1 skip. Saves 1/3 of the copied VMEM
+    # bytes and MXU work for y-compact boxes (tap rows fit the base chunk
+    # after align rounding — the majority of post-NMS RoIs).
+    tails = (jnp.abs(wy[:, :, :, CHUNK_Y:]).sum(axis=(2, 3)) > 0
+             ).astype(jnp.int32)                  # (NB, 2)
+
     # plane-LOCAL outer (x) row origin: level column offset only
     xx = ox + jnp.asarray(staged.col_off)[lvl][:, None]
-    assert rows_blk < (1 << 18) and Hp <= (1 << 13)
-    pk = (xx + (oy << 18)).reshape(-1)
+    assert rows_blk < (1 << 15) and Hp <= (1 << 13)
+    # BOTH tail bits ride in BOTH words (bits 15/16) so that the q1-skip
+    # word-equality test still holds for geometrically-coincident
+    # sub-windows (a compact box's q0 may need a tail while its zero-weight
+    # q1 does not — per-q bits would make the words differ spuriously)
+    tbits = (tails[:, 0] << 15) + (tails[:, 1] << 16)
+    pk = (xx + tbits[:, None] + (oy << 17)).reshape(-1)
 
     K = boxes_per_step or 4
     pad_n = (-N) % K
@@ -686,7 +724,9 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
     wboth, lanes = _expand_pack(wy, wx, BY, P, K, dtype)
     wboth = wboth.reshape(B, steps, K * 2 * P8 * P8, lanes)
     XY = PATCH_X * BY
-    EL = _one_hot_expander(BY, dtype)
+    XY0 = PATCH_X * CHUNK_Y          # base-chunk lanes (chunk-partitioned EL)
+    TY = BY - CHUNK_Y                # tail rows
+    EL = _one_hot_expander(BY, dtype, chunk=CHUNK_Y)
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
@@ -712,26 +752,48 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
         for k in range(K):
             w0 = pk_ref[base0 + 2 * k]
             w1 = pk_ref[base0 + 2 * k + 1]
+            # per-q tail flags: q0 reads bit 15, q1 bit 16 (both bits ride
+            # in both words; see the packing comment above)
+            t0 = ((w0 >> 15) & 1) == 1
+            t1 = ((w1 >> 16) & 1) == 1
 
-            def window(word):
-                xc = word & ((1 << 18) - 1)
-                row = pl.multiple_of(word >> 18, align)
+            def base(word):
+                xc = word & ((1 << 15) - 1)
+                row = pl.multiple_of(word >> 17, align)
                 return plane_ref[
-                    0, pl.ds(xc, PATCH_X), pl.ds(row, BY), :
-                ].reshape(XY, C)
+                    0, pl.ds(xc, PATCH_X), pl.ds(row, CHUNK_Y), :
+                ].reshape(XY0, C)
 
-            acc_ref[k] = lax.dot_general(
-                A0[k], window(w0), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            def tail(word):
+                xc = word & ((1 << 15) - 1)
+                row = pl.multiple_of((word >> 17) + CHUNK_Y, align)
+                return plane_ref[
+                    0, pl.ds(xc, PATCH_X), pl.ds(row, TY), :
+                ].reshape(XY - XY0, C)
+
+            def dot(A, win):
+                return lax.dot_general(
+                    A, win, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+            # y-chunked reads: base chunk always; tail chunk only when its
+            # weight block is nonzero (y-compact boxes — the majority —
+            # skip 1/3 of the window copy and matmul)
+            acc_ref[k] = dot(A0[k][:, :XY0], base(w0))
+
+            @pl.when(t0)
+            def _():
+                acc_ref[k] = acc_ref[k] + dot(A0[k][:, XY0:], tail(w0))
 
             # compact boxes carry a zero q1 weight block — skip its matmul
             @pl.when(q1_here[k])
             def _():
-                acc_ref[k] = acc_ref[k] + lax.dot_general(
-                    a1_buf[k], window(w1), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
+                acc_ref[k] = acc_ref[k] + dot(a1_buf[k][:, :XY0], base(w1))
+
+            @pl.when(q1_here[k] & t1)
+            def _():
+                acc_ref[k] = acc_ref[k] + dot(a1_buf[k][:, XY0:], tail(w1))
 
             r = acc_ref[k].reshape(P8, P8, C)
             out_ref[0, 0, k] = r[:P, :P, :].astype(out_ref.dtype)

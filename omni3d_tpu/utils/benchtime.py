@@ -38,11 +38,18 @@ def calibrate_rtt(n: int = 10, reps: int = 3) -> float:
 
 def timed_call(run, args, n: int, rtt: float, reps: int = 2) -> float:
     """Per-iteration seconds of `run(args)` (a compiled n-iteration scan),
-    with the fixed per-call RTT subtracted. Takes the min over reps."""
+    with the fixed per-call RTT subtracted. Takes the min over reps.
+
+    Returns the RAW subtracted value — possibly <= 0 when the whole call
+    lands under the RTT noise floor (advisor r4: a silent max(..., 0)
+    clamp made genuinely-sub-noise stages indistinguishable from
+    over-subtracted ones). Callers should treat values <= 0 (or within
+    ~rtt jitter/n of 0) as below-noise-floor and either increase n or
+    flag the stage rather than report 0.0 as a measurement."""
     float(run(args))  # warm (compile on first use)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         float(run(args))
         best = min(best, time.perf_counter() - t0)
-    return max(best - rtt, 0.0) / n
+    return (best - rtt) / n

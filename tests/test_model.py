@@ -127,6 +127,54 @@ class TestEndToEnd:
         valid = np.asarray(out["valid"])
         assert np.all(s[valid] <= np.sqrt(s2[valid]) + 1e-5)
 
+    def test_lazy_decode_matches_decode_all(self):
+        """fast_rcnn_inference's decode/top-k/NMS chain must agree with an
+        explicit decode-all-then-gather reference formulation. (The model
+        keeps the vectorized decode-all form — XLA pushes the top-k gather
+        through it; a hand-written lazy decode measured slower, r5 A/B —
+        so this pins the selection semantics both formulations share.)"""
+        from omni3d_tpu.models.heads import fast_rcnn_inference
+        from omni3d_tpu.utils import boxes as box_ops
+
+        rng = np.random.default_rng(3)
+        P, C = 64, 7
+        scores = jnp.asarray(rng.normal(size=(P, C + 1)), jnp.float32)
+        deltas = jnp.asarray(rng.normal(scale=0.3, size=(P, C * 4)), jnp.float32)
+        props = jnp.asarray(
+            np.stack([rng.uniform(0, 60, P), rng.uniform(0, 60, P),
+                      rng.uniform(64, 120, P), rng.uniform(64, 120, P)], -1),
+            jnp.float32)
+        valid = jnp.asarray(rng.uniform(size=P) > 0.2)
+        hw = jnp.asarray([128.0, 128.0])
+        weights = (10.0, 10.0, 5.0, 5.0)
+
+        out = jax.jit(lambda s, d, p, v: fast_rcnn_inference(
+            s, d, p, v, hw, C, 0.01, 0.5, 10, 32, weights))(
+                scores, deltas, props, valid)
+
+        # reference formulation: decode everything, then gather
+        probs = jax.nn.softmax(scores, axis=-1)[:, :C]
+        boxes_pc = box_ops.clip_boxes(
+            box_ops.decode_deltas(deltas.reshape(P, C, 4), props[:, None, :],
+                                  weights), hw[0], hw[1])
+        flat = jnp.where(valid[:, None], probs, 0.0).reshape(-1)
+        top_scores, top_idx = jax.lax.top_k(
+            jnp.where(flat > 0.01, flat, -1e10), 32)
+        cand_all = boxes_pc.reshape(-1, 4)[top_idx]
+
+        # every kept detection's box must appear among the decode-all
+        # candidates (same math, different fusion: tolerance is float
+        # rounding, ~1e-5 of a 128px coordinate), with its score found
+        # bit-exactly in the same top-k score list
+        kept = np.asarray(out["valid"]).astype(bool)
+        det_boxes = np.asarray(out["boxes"])[kept]
+        det_scores = np.asarray(out["scores"])[kept]
+        cand_np = np.asarray(cand_all)
+        top_np = np.asarray(top_scores)
+        for b, s in zip(det_boxes, det_scores):
+            assert np.abs(cand_np - b).max(axis=1).min() < 1e-3, b
+            assert (top_np == s).any(), s
+
     def test_per_image_clipping_in_padded_batch(self):
         """Boxes in a mixed-size batch clip to each image's own net extent,
         not the padded bucket (VERDICT r1 weak #9): image 1 occupies only

@@ -169,6 +169,29 @@ class TestResidentKernel:
         want[6] = np.asarray(ra_ops.roi_align(feats[1], boxes[6:7], 7, 1.0 / 8, 2))[0]
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
+    def test_ychunk_tail_boundary(self):
+        """r5 y-chunked reads: the 32-row base chunk + conditional tail.
+        Boxes engineered to straddle the tail boundary — y tap footprints
+        just inside and just beyond CHUNK_Y rows after align rounding —
+        must all match the oracle (tail skipped vs taken is exact either
+        way because the tail weight block is zero iff skipped)."""
+        rng = np.random.default_rng(11)
+        feats = _pyramid(rng)
+        rows = []
+        # y0 sweeps the align phase (slack 0..15 cells at p2, stride 4);
+        # heights sweep tap extents ~12..34 cells across the 32-row chunk
+        for y0 in (0.0, 6.0, 30.0, 62.0):
+            for h_cells in (12, 18, 26, 30, 34):
+                rows.append([40.0, y0, 90.0, y0 + 4.0 * h_cells])
+        boxes = jnp.asarray(rows, jnp.float32)
+        for dtype, atol in ((jnp.float32, 2e-4), (jnp.bfloat16, 3e-2)):
+            got = multilevel_roi_align_pallas(
+                [f.astype(dtype) for f in feats], boxes, STRIDES, 7, 2,
+                interpret=True, mode="res")
+            want = ra_ops.multilevel_roi_align(feats, boxes, STRIDES, 7, 2)
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want), atol=atol)
+
     def test_n_not_multiple_of_step(self):
         """N % K != 0 exercises the per-image zero-weight padding."""
         rng = np.random.default_rng(10)
@@ -184,3 +207,64 @@ class TestResidentKernel:
                 [f[b] for f in feats], boxes[b], STRIDES, 7, 2)
             np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
                                        atol=2e-4)
+
+
+class TestExactRouting:
+    """TPU.POOLER_EXACT_ROUTING (r5): forces the XLA-gather oracle with
+    canonical detectron2 level routing — no level-bump deviation — for
+    parity runs (PARITY.md #2)."""
+
+    def test_exact_routing_matches_oracle_on_bump_prone_boxes(self):
+        rng = np.random.default_rng(12)
+        B = 1
+        feats = _pyramid(rng, B=B)
+        # wide boxes that the pallas plan would bump one level coarser
+        boxes = jnp.asarray([[
+            [0, 0, 255, 40],         # 64x10 p2 cells: pallas bumps to p4
+            [20, 60, 220, 100],      # 50x10 p2 cells: pallas bumps to p3
+            [10, 10, 60, 60],        # canonical either way
+        ]], jnp.float32)
+        got = multilevel_roi_align_pallas_batched(
+            feats, boxes, STRIDES, 7, 2, interpret=True, exact_routing=True)
+        want = ra_ops.multilevel_roi_align(
+            [f[0] for f in feats], boxes[0], STRIDES, 7, 2)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_config_knob_reaches_inference(self, monkeypatch):
+        """TPU.POOLER_EXACT_ROUTING must reach BOTH pooler invocations of
+        the inference path as exact_routing=True. (On CPU the auto
+        dispatch already falls back to the oracle, so a value-based check
+        cannot distinguish the knob off-TPU — assert the plumbing.)"""
+        from omni3d_tpu.config.cfg import StaticCfg
+        from omni3d_tpu.config.defaults import get_default_cfg
+        from omni3d_tpu.models import rcnn3d as rc
+
+        seen = []
+        real = rc.multilevel_roi_align_pallas_batched
+
+        def spy(*args, **kwargs):
+            seen.append(kwargs.get("exact_routing", False))
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(rc, "multilevel_roi_align_pallas_batched", spy)
+
+        cfg = get_default_cfg()
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+        cfg.TPU.POOLER_EXACT_ROUTING = True
+        scfg = StaticCfg(cfg)
+        model = rc.CubeRCNN(cfg=scfg)
+        H = W = 128
+        imgs = rc.preprocess(
+            jnp.asarray(np.random.default_rng(0).integers(
+                0, 255, (1, H, W, 3))),
+            cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
+        variables = model.init(jax.random.PRNGKey(0), imgs)
+        Ks = jnp.asarray([[[200.0, 0, 64], [0, 200.0, 64], [0, 0, 1]]])
+        oracle = (jnp.asarray([[[2.0, 40.0, 126.0, 56.0]]]),
+                  jnp.zeros((1, 1), jnp.int32),
+                  jnp.ones((1, 1), bool))
+        out = rc.inference_impl(variables, model, imgs, Ks, jnp.ones(1),
+                                oracle=oracle)
+        assert np.all(np.isfinite(np.asarray(out["dims"])))
+        assert seen and all(seen), seen

@@ -31,12 +31,18 @@ def main():
     boxes = jnp.asarray(np.concatenate([xy, np.minimum(xy + wh, 511)], -1))
 
     n = 10
+    # kernel-only mode reproduces the r4 harness: boxes NOT perturbed, so
+    # the plan/A-pack XLA prologue hoists out of the scan and only the
+    # pallas kernel is timed. Default perturbs boxes too (full pooler cost
+    # as the pipeline pays it).
+    kernel_only = len(sys.argv) > 5 and sys.argv[5] == "kernel"
 
     @jax.jit
     def run(feats, boxes):
         def body(carry, _):
             f0 = [feats[0] + carry.astype(feats[0].dtype) * 1e-12] + feats[1:]
-            out = multilevel_roi_align_pallas_batched(f0, boxes, STRIDES, 7, 2,
+            bx = boxes if kernel_only else boxes + carry * 1e-12
+            out = multilevel_roi_align_pallas_batched(f0, bx, STRIDES, 7, 2,
                                                       mode=mode,
                                                       boxes_per_step=K)
             return carry + out.ravel()[0] * 1e-12, ()
@@ -48,10 +54,14 @@ def main():
     from omni3d_tpu.utils.benchtime import calibrate_rtt
 
     rtt = calibrate_rtt()
-    t0 = time.perf_counter()
-    float(run(feats, boxes))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n
-    print(f"pooler B={B} N={N} mode={mode or 'auto'} K={K or 'def'}: "
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(feats, boxes))
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - rtt, 1e-9) / n
+    print(f"pooler B={B} N={N} mode={mode or 'auto'} K={K or 'def'}"
+          f"{' kernel-only' if kernel_only else ''}: "
           f"{dt*1e3:.2f} ms/call ({B*N/dt/1e6:.2f} Mboxes/s)")
 
 

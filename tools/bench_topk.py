@@ -27,10 +27,22 @@ def timed(fn, args, n=20):
     @jax.jit
     def run(args):
         def body(carry, _):
-            x = args[0] + carry * 1e-12
-            out = fn(x, *args[1:])
-            leaf = jax.tree.leaves(out)[0]
-            return carry + leaf.ravel()[0].astype(jnp.float32) * 1e-12, ()
+            # perturb every inexact input and consume one element of EVERY
+            # output leaf — with only the first leaf consumed, the index
+            # path of two_stage (take_along_axis, group-offset arithmetic)
+            # is dead w.r.t. the values leaf and XLA eliminates it,
+            # under-reporting two-stage cost (advisor r4, the same DCE
+            # failure mode fixed in profile_stages.py/bench.py)
+            perturbed = jax.tree.map(
+                lambda leaf: leaf + carry.astype(leaf.dtype) * 1e-12
+                if jnp.issubdtype(leaf.dtype, jnp.inexact) else leaf,
+                args,
+            )
+            out = fn(*perturbed)
+            acc = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            return carry + acc * 1e-12, ()
 
         c, _ = lax.scan(body, jnp.float32(0), None, length=n)
         return c

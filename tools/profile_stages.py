@@ -21,6 +21,17 @@ _RTT = None
 
 
 def timed(fn, args, n=10):
+    """Per-call seconds of fn(*args), RTT-subtracted. Stages that land
+    near/below the RTT noise floor (jitter ~0.3 ms / n) are re-measured
+    at n=100 so the subtraction error shrinks 10x instead of silently
+    reporting 0.0 (advisor r4 findings on benchtime clamping)."""
+    t = _timed_n(fn, args, n)
+    if t < 0.3e-3:  # below/near the n=10 noise floor (~30 us resolution)
+        t = _timed_n(fn, args, 100)
+    return max(t, 0.0)
+
+
+def _timed_n(fn, args, n):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -156,7 +167,13 @@ def main():
         return multilevel_roi_align_pallas_batched(
             flist, prop_boxes, list(FEATURE_STRIDES), 7, 2,
             out_dtype=flist[0].dtype, staged=staged)
-    t = timed(pool_fn, (flist, prop_boxes)) - stages["pyramid staging"] / 1e3
+    # the pooler measurement includes the staging; subtract the separately
+    # measured staging stage, clamped at 0 — at small batch the staging
+    # measurement can sit below the RTT noise floor while the staging cost
+    # inside this measurement is real (advisor r4), in which case the
+    # pooler rows absorb it (noted in the artifact via below-noise flags)
+    t = max(timed(pool_fn, (flist, prop_boxes))
+            - stages["pyramid staging"] / 1e3, 0.0)
     rec("box pooler (1000)", t)
     pooled = jax.jit(pool_fn)(flist, prop_boxes)
 
@@ -193,22 +210,29 @@ def main():
     rec("  nms: flat top_k", t)
     top_scores, top_idx = jax.jit(topk_flat_fn)(scores2d)
 
-    def decode_fn(deltas2d, prop_boxes):
-        # per-class decode of ALL P*C boxes (current layout)
-        bx = box_ops.decode_deltas(
-            deltas2d.reshape(B, 1000, C, 4), prop_boxes[:, :, None, :],
-            tuple(scfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS))
-        return box_ops.clip_boxes(bx, image_hw[0], image_hw[1])
-    t = timed(decode_fn, (deltas2d, prop_boxes))
-    rec("  nms: decode all", t)
-    boxes_pc = jax.jit(decode_fn)(deltas2d, prop_boxes)
+    def decode_fn(deltas2d, prop_boxes, top_idx):
+        # decode-all + top-k gather, consuming ONLY the gathered rows — the
+        # as-scheduled pipeline cost: XLA pushes the gather through the
+        # elementwise decode so only survivors are decoded. (PROFILE_r04's
+        # 'decode all' sub-stage consumed all P*C decoded boxes, which
+        # BLOCKED that pushdown and over-reported the stage at 2.5 ms; a
+        # hand-written lazy decode measured +2 ms slower end-to-end, r5 A/B.)
+        w = tuple(scfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS)
 
-    def nms_only_fn(boxes_pc, top_scores, top_idx):
-        cand = jax.vmap(lambda bp, ti: bp.reshape(-1, 4)[ti])(boxes_pc, top_idx)
+        def per_img(dl, pb, ti):
+            bx = box_ops.decode_deltas(dl.reshape(1000, C, 4), pb[:, None, :], w)
+            bx = box_ops.clip_boxes(bx, image_hw[0], image_hw[1])
+            return bx.reshape(-1, 4)[ti]
+        return jax.vmap(per_img)(deltas2d, prop_boxes, top_idx)
+    t = timed(decode_fn, (deltas2d, prop_boxes, top_idx))
+    rec("  nms: decode+gather", t)
+    cand_boxes = jax.jit(decode_fn)(deltas2d, prop_boxes, top_idx)
+
+    def nms_only_fn(cand_boxes, top_scores, top_idx):
         cls = top_idx % C
         return jax.vmap(lambda b, s, c: nms_ops.batched_nms_indices(
-            b, s, c, 0.5, 100, s > 0.01))(cand, top_scores, cls)
-    t = timed(nms_only_fn, (boxes_pc, top_scores, top_idx))
+            b, s, c, 0.5, 100, s > 0.01))(cand_boxes, top_scores, cls)
+    t = timed(nms_only_fn, (cand_boxes, top_scores, top_idx))
     rec("  nms: batched NMS", t)
 
     def rpn_topk_fn(logits):
@@ -229,7 +253,8 @@ def main():
         return multilevel_roi_align_pallas_batched(
             flist, cube_boxes, list(FEATURE_STRIDES), 7, 2,
             out_dtype=flist[0].dtype, staged=staged)
-    t = timed(poolc_fn, (flist, cube_boxes)) - stages["pyramid staging"] / 1e3
+    t = max(timed(poolc_fn, (flist, cube_boxes))
+            - stages["pyramid staging"] / 1e3, 0.0)
     rec("cube pooler (100)", t)
     pooled_cube = jax.jit(poolc_fn)(flist, cube_boxes)
 
