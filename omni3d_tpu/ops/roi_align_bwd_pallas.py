@@ -53,7 +53,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align_pallas import (PATCH_X, _build_A_rows, _expand_pack,
+from .roi_align_pallas import (CHUNK_Y, PATCH_X, _build_A_rows, _expand_pack,
                                _one_hot_expander, _plan, _window_geom,
                                staging_extent)
 
@@ -123,9 +123,22 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
     wy = wy.reshape(NB, 2, P, BY)   # sample-reduced in _plan
     wx = wx.reshape(NB, 2, P, PATCH_X)
 
+    # y-chunk tail flags, mirroring the forward kernel: the gradient window
+    # RMW is split into a CHUNK_Y-row base + conditional (BY-CHUNK_Y)-row
+    # tail; a sub-window whose tail weight block is exactly zero adds
+    # exactly zero there, so skipping its matmul AND its read-modify-write
+    # is exact. Real post-NMS/foreground boxes are y-compact (r5 extent
+    # histogram: ~100% tail-free), cutting 1/3 of the f32 accumulator
+    # traffic — the bwd kernel's dominant cost.
+    tails = (jnp.abs(wy[:, :, :, CHUNK_Y:]).sum(axis=(2, 3)) > 0
+             ).astype(jnp.int32)                  # (NB, 2)
+
     xx = ox + jnp.asarray(xoff)[lvl][:, None]
-    assert rows_tot < (1 << 18) and Hp <= (1 << 13)
-    pk = (xx + (oy << 18)).reshape(-1)  # word/q: x row [0,18), y at 18
+    assert rows_tot < (1 << 15) and Hp <= (1 << 13)
+    # BOTH tail bits in BOTH words (bits 15/16) so q1-skip word equality
+    # still holds for coincident sub-windows (see the forward's comment)
+    tbits = (tails[:, 0] << 15) + (tails[:, 1] << 16)
+    pk = (xx + tbits[:, None] + (oy << 17)).reshape(-1)
 
     K = 4
     pad_n = (-N) % K
@@ -150,7 +163,9 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
     wboth = wboth.reshape(B, steps, K * 2 * P8 * P8, lanes).astype(dtype)
 
     XY = PATCH_X * BY  # flattened (x, y) window length
-    EL = _one_hot_expander(BY, dtype)
+    XY0 = PATCH_X * CHUNK_Y
+    TY = BY - CHUNK_Y
+    EL = _one_hot_expander(BY, dtype, chunk=CHUNK_Y)
 
     prec = (lax.Precision.HIGHEST if dtype == jnp.float32
             else lax.Precision.DEFAULT)
@@ -181,27 +196,52 @@ def roi_align_bwd_pallas(features, boxes, g, strides, out_size: int = 7,
         for k in range(K):
             w0 = pk_ref[base0 + 2 * k]
             w1 = pk_ref[base0 + 2 * k + 1]
+            # per-q tail flags: q0 reads bit 15, q1 bit 16
+            t0 = ((w0 >> 15) & 1) == 1
+            t1 = ((w1 >> 16) & 1) == 1
             G_k = g_ref[0, 0, k].reshape(P8 * P8, C)
 
-            def accum(word, A_k):
-                xc = word & ((1 << 18) - 1)
-                row = pl.multiple_of(word >> 18, ALIGN)
+            def accum_base(word, A_k):
+                xc = word & ((1 << 15) - 1)
+                row = pl.multiple_of(word >> 17, ALIGN)
                 dp = lax.dot_general(
-                    A_k, G_k, (((0,), (0,)), ((), ())),
+                    A_k[:, :XY0], G_k, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                ).reshape(PATCH_X, BY, C)
-                cur = out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, BY), :]
-                out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, BY), :] = (
+                ).reshape(PATCH_X, CHUNK_Y, C)
+                cur = out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, CHUNK_Y), :]
+                out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, CHUNK_Y), :] = (
                     cur + dp
                 ).astype(out_ref.dtype)
 
-            accum(w0, A0[k])
+            def accum_tail(word, A_k):
+                xc = word & ((1 << 15) - 1)
+                row = pl.multiple_of((word >> 17) + CHUNK_Y, ALIGN)
+                dp = lax.dot_general(
+                    A_k[:, XY0:], G_k, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).reshape(PATCH_X, TY, C)
+                cur = out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, TY), :]
+                out_ref[0, pl.ds(xc, PATCH_X), pl.ds(row, TY), :] = (
+                    cur + dp
+                ).astype(out_ref.dtype)
+
+            # y-chunked accumulation: base RMW always; the tail's matmul
+            # AND read-modify-write only when its weight block is nonzero
+            accum_base(w0, A0[k])
+
+            @pl.when(t0)
+            def _():
+                accum_tail(w0, A0[k])
 
             # compact boxes carry a zero q1 weight block — skip its matmul
             # and RMW entirely
             @pl.when(q1_here[k])
             def _():
-                accum(w1, a1_buf[k])
+                accum_base(w1, a1_buf[k])
+
+            @pl.when(q1_here[k] & t1)
+            def _():
+                accum_tail(w1, a1_buf[k])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -761,14 +761,14 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
                 xc = word & ((1 << 15) - 1)
                 row = pl.multiple_of(word >> 17, align)
                 return plane_ref[
-                    0, pl.ds(xc, PATCH_X), pl.ds(row, CHUNK_Y), :
+                    pl.ds(xc, PATCH_X), pl.ds(row, CHUNK_Y), :
                 ].reshape(XY0, C)
 
             def tail(word):
                 xc = word & ((1 << 15) - 1)
                 row = pl.multiple_of((word >> 17) + CHUNK_Y, align)
                 return plane_ref[
-                    0, pl.ds(xc, PATCH_X), pl.ds(row, TY), :
+                    pl.ds(xc, PATCH_X), pl.ds(row, TY), :
                 ].reshape(XY - XY0, C)
 
             def dot(A, win):
@@ -778,8 +778,12 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
                 )
 
             # y-chunked reads: base chunk always; tail chunk only when its
-            # weight block is nonzero (y-compact boxes — the majority —
-            # skip 1/3 of the window copy and matmul)
+            # weight block is nonzero (y-compact boxes — in the REAL
+            # post-NMS distribution 100% of proposals, tools/bench_pooler
+            # extent histogram r5 — skip 1/3 of the window copy and
+            # matmul). A lax.cond value-carried accumulator (registers, no
+            # scratch round-trips) measured 0.5 ms SLOWER at 32x1000 than
+            # this pl.when/scratch form — kept out.
             acc_ref[k] = dot(A0[k][:, :XY0], base(w0))
 
             @pl.when(t0)
@@ -803,7 +807,7 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
         grid=(B, steps),
         in_specs=[
             # one image's whole staged plane, revisited across its box steps
-            pl.BlockSpec((1, rows_blk, Hp, C), lambda b, s, *_: (b, 0, 0, 0),
+            pl.BlockSpec((rows_blk, Hp, C), lambda b, s, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, K * 2 * P8 * P8, lanes),
                          lambda b, s, *_: (b, s, 0, 0),
@@ -825,7 +829,7 @@ def _pool_resident(features, boxes, strides, out_size, sampling_ratio,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
-    )(pk, plane, wboth, EL)
+    )(pk, plane.reshape(B * rows_blk, Hp, C), wboth, EL)
     return out.reshape(B, Np, P, P, C)[:, :N]
 
 

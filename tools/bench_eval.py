@@ -85,6 +85,19 @@ def main():
     print(f"{n_images} images, {len(gts)} GTs, {len(dts)} dets, "
           f"native matcher: {native.available()}", flush=True)
 
+    # warm the batched-IoU3D tiled kernel BEFORE timing: the first call
+    # compiles (~20-30 s through the axon tunnel), which otherwise lands
+    # inside the 3D evaluate() timing and dominates it (r5: 26 s of which
+    # ~24 s was this compile)
+    from omni3d_tpu.evaluation.omni3d_eval import Omni3DEval as _E
+    from omni3d_tpu.evaluation.omni3d_eval import _tiled_iou3d_fn
+    _fn = _tiled_iou3d_fn(_E._TILE_D, _E._TILE_G, _E._TILE_CHUNK)
+    _d = np.zeros((_E._TILE_CHUNK, _E._TILE_D, 8, 3), np.float32) + \
+        _cuboid([0, 0, 10], [1, 1, 1])
+    _g = np.zeros((_E._TILE_CHUNK, _E._TILE_G, 8, 3), np.float32) + \
+        _cuboid([0, 0, 10], [1, 1, 1])
+    np.asarray(_fn(_d, _g))
+
     timings = {}
     results = {}
     for mode in ("2D", "3D"):

@@ -90,7 +90,10 @@ def main():
             flops = run.lower(state, batch, key).compile().cost_analysis()
             if isinstance(flops, list):
                 flops = flops[0]
-            flops_per_step = float(flops.get("flops", 0.0)) / n
+            # XLA cost analysis counts a scan/while body ONCE, not n times
+            # (verified r5: the 10-step scan reports ~the single-step FLOPs
+            # of profile_train's ladder) — so no division by n
+            flops_per_step = float(flops.get("flops", 0.0))
         except Exception:
             flops_per_step = 0.0
         commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],

@@ -18,14 +18,17 @@ python bench.py | tee /tmp/capture_bench.log
 echo "== train throughput -> BENCH_TRAIN.json =="
 python tools/bench_train.py 32 BENCH_TRAIN.json
 
-echo "== stage profile bs=32 -> PROFILE_r04_bs32.json =="
-python tools/profile_stages.py 32 PROFILE_r04_bs32.json
+echo "== stage profile bs=32 -> PROFILE_r05_bs32.json =="
+python tools/profile_stages.py 32 PROFILE_r05_bs32.json
 
-echo "== stage profile bs=1 -> PROFILE_r04_bs1.json =="
-python tools/profile_stages.py 1 PROFILE_r04_bs1.json
+echo "== stage profile bs=1 -> PROFILE_r05_bs1.json =="
+python tools/profile_stages.py 1 PROFILE_r05_bs1.json
+
+echo "== train stage profile -> PROFILE_r05_train.json =="
+python tools/profile_train.py 32 PROFILE_r05_train.json
 
 echo "== eval-path bench -> EVAL_BENCH.json =="
 python tools/bench_eval.py 200 EVAL_BENCH.json
 
 echo "All artifacts captured. Commit them:"
-echo "  git add BENCH_TRAIN.json PROFILE_r04_bs32.json PROFILE_r04_bs1.json EVAL_BENCH.json"
+echo "  git add BENCH_TRAIN.json PROFILE_r05_bs32.json PROFILE_r05_bs1.json PROFILE_r05_train.json EVAL_BENCH.json"

@@ -99,13 +99,18 @@ def main():
     params, bs = state.params, state.batch_stats
 
     print(f"B={B} backend={jax.default_backend()}", file=sys.stderr)
+    stages = {}
+
+    def rec(name, t, extra=""):
+        stages[name] = t * 1e3
+        print(f"{name:<23}: {t*1e3:8.2f} ms{extra}", flush=True)
 
     # 1. backbone forward alone
     feats_fn = lambda p, im: model.apply(
         {"params": p, "batch_stats": bs}, im,
         method=CubeRCNN.features, mutable=["batch_stats"])[0]["p2"]
     t = timed(feats_fn, (params, imgs))
-    print(f"backbone fwd (train BN): {t*1e3:8.2f} ms", flush=True)
+    rec("backbone fwd (train BN)", t)
 
     # 2. full loss forward
     def loss_fwd(p, batch):
@@ -114,7 +119,7 @@ def main():
         return total
 
     t = timed(loss_fwd, (params, batch))
-    print(f"loss forward           : {t*1e3:8.2f} ms", flush=True)
+    rec("loss forward", t)
 
     # every weight-grad must be consumed or XLA DCEs its matmul and the
     # rung under-reports (grad leaf0 alone keeps only the dgrad chain)
@@ -125,7 +130,7 @@ def main():
     # 3. forward + backward (no optimizer)
     grad_fn = jax.grad(loss_fwd)
     t = timed(lambda p, b: _consume(grad_fn(p, b)), (params, batch))
-    print(f"loss fwd+bwd           : {t*1e3:8.2f} ms", flush=True)
+    rec("loss fwd+bwd", t)
 
     # 4. fwd+bwd with pooler gradient stopped (isolates ROIAlign backward)
     import omni3d_tpu.engine.train as T
@@ -150,7 +155,7 @@ def main():
 
     t = timed(lambda p, b: _consume(jax.grad(loss_fwd_nopool)(p, b)),
               (params, batch))
-    print(f"fwd+bwd, pool grad off : {t*1e3:8.2f} ms", flush=True)
+    rec("fwd+bwd, pool grad off", t)
 
     # 5. full train step (from bench_train): fwd+bwd+optimizer
     from omni3d_tpu.engine.train import make_train_step
@@ -166,8 +171,50 @@ def main():
                 + jax.tree.leaves(new_state.params)[0].ravel()[0])
 
     t = timed(full_step, (state, batch))
-    print(f"full train step        : {t*1e3:8.2f} ms  ({B/t:7.1f} img/s)",
-          flush=True)
+    rec("full train step", t, f"  ({B/t:7.1f} img/s)")
+
+    # derived attribution: bwd = (fwd+bwd) - fwd; pooler bwd = (fwd+bwd) -
+    # (fwd+bwd w/ pool grad stopped); optimizer+overhead = full - (fwd+bwd)
+    stages["  bwd (derived)"] = stages["loss fwd+bwd"] - stages["loss forward"]
+    stages["  pooler bwd (derived)"] = (stages["loss fwd+bwd"]
+                                        - stages["fwd+bwd, pool grad off"])
+    stages["  optimizer+overhead (derived)"] = (stages["full train step"]
+                                                - stages["loss fwd+bwd"])
+    for k in ("  bwd (derived)", "  pooler bwd (derived)",
+              "  optimizer+overhead (derived)"):
+        print(f"{k:<23}: {stages[k]:8.2f} ms", flush=True)
+
+    if len(sys.argv) > 2:
+        import json
+
+        try:
+            cost = jax.jit(loss_fwd).lower(params, batch).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            fwd_flops = float(cost.get("flops", 0.0))
+        except Exception:
+            fwd_flops = 0.0
+        # rule of thumb: bwd ~ 2x fwd FLOPs (dgrad + wgrad)
+        step_flops = 3.0 * fwd_flops
+        peak = 197.0 if "v5 lite" in jax.devices()[0].device_kind else 0.0
+        full_s = stages["full train step"] / 1e3
+        out = {
+            "batch": B, "image_hw": [H, W],
+            "backend": jax.default_backend(),
+            "device_kind": jax.devices()[0].device_kind,
+            "stage_ms": stages,
+            "full_step_ms": stages["full train step"],
+            "img_per_s": B / full_s,
+            "fwd_flops_cost_analysis": fwd_flops,
+            "step_flops_est_3x_fwd": step_flops,
+            "tflops_per_s": step_flops / full_s / 1e12,
+            "mfu_vs_bf16_peak": (step_flops / full_s / 1e12 / peak) if peak else None,
+            "peak_tflops_assumed": peak,
+            "rtt_ms_subtracted": _RTT * 1e3,
+        }
+        with open(sys.argv[2], "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {sys.argv[2]}", file=sys.stderr)
 
 
 if __name__ == "__main__":
