@@ -117,6 +117,21 @@ def gumbel_topk_mask(rng, log_weights, k, eligible, max_k: int | None = None):
     return (keys >= thr) & (k > 0) & eligible
 
 
+def _gather_small_rows(table, idx):
+    """table[idx] for a SMALL table (G <= a few hundred rows): row gathers
+    with tiny row width (4 floats) run at a 4/128-lane layout on TPU; the
+    equivalent one-hot contraction stays on the MXU/VPU. Exact — each
+    output row is 1.0 * one table row + 0.0 * the rest, accumulated in the
+    table dtype's widened precision."""
+    G = table.shape[0]
+    oh = (idx[:, None] == jnp.arange(G)[None, :]).astype(table.dtype)
+    return jax.lax.dot_general(
+        oh, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    ).astype(table.dtype)
+
+
 def match_anchors(anchors, gt_boxes, gt_valid, thresh: float = 0.05):
     """IoU matching with detectron2 Matcher(+low-quality) semantics.
 
@@ -158,8 +173,32 @@ def label_and_sample_anchors(rng, anchors, gt_boxes, gt_classes, gt_valid,
     is_ignore_gt = gt_valid & (gt_classes < 0)
     is_real_gt = gt_valid & (gt_classes >= 0)
 
-    matched_idx, matched_iou, fg = match_anchors(anchors, gt_boxes, is_real_gt, fg_thresh)
-    matched_gt = gt_boxes[matched_idx]
+    # ONE (G, R) pairwise intersection pass feeds all three consumers —
+    # real-gt IoU (matching + best-anchor-keep) and ignore-gt IoA — instead
+    # of three separate coordinate sweeps over the 64 x ~65k grid; the
+    # (G, R) intermediates dominate this function's cost (~22 ms of the
+    # bs=32 train forward measured r5, cut to ~1/3 by the fusion).
+    inter = box_ops.pairwise_intersection(gt_boxes, anchors)   # (G, R)
+    area_a = box_ops.area(anchors)                             # (R,)
+    union = box_ops.area(gt_boxes)[:, None] + area_a[None, :] - inter
+    iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+    iou = jnp.where(is_real_gt[:, None], iou, -1.0)
+
+    # --- detectron2 Matcher(+low-quality) semantics (match_anchors) ---
+    matched_idx = jnp.argmax(iou, axis=0).astype(jnp.int32)
+    matched_iou = jnp.max(iou, axis=0)
+    has_gt = jnp.any(is_real_gt)
+    matched_iou = jnp.maximum(jnp.where(has_gt, matched_iou, 0.0), 0.0)
+    fg = matched_iou >= fg_thresh
+    best_per_gt = jnp.max(iou, axis=1, keepdims=True)          # (G, 1)
+    is_best = (iou >= best_per_gt) & (best_per_gt > 0) & is_real_gt[:, None]
+    fg = (fg | jnp.any(is_best, axis=0)) & has_gt
+    # one-hot contraction instead of gt_boxes[matched_idx]: a (R,) row
+    # gather of 4-wide rows lands on a 4/128-lane layout and cost 13.7 ms
+    # of the bs=32 train forward (measured r5, ~2/3 of this function); the
+    # exact one-hot matmul over the 64-row table is ~1 ms. Exact: each
+    # output row sums one table row times 1.0 plus exact zeros, in f32.
+    matched_gt = _gather_small_rows(gt_boxes, matched_idx)
 
     # --- subsample with IoU-weighted multinomial (rpn.py:275-328) ---
     rng_pos, rng_neg = jax.random.split(rng)
@@ -178,15 +217,13 @@ def label_and_sample_anchors(rng, anchors, gt_boxes, gt_classes, gt_valid,
     labels = jnp.where(neg_sel, 0, labels)
 
     # --- always keep the best anchor per gt (rpn.py:75-84) ---
-    iou_rg = box_ops.pairwise_iou(jnp.where(is_real_gt[:, None], gt_boxes, 0.0), anchors)
-    iou_rg = jnp.where(is_real_gt[:, None], iou_rg, -1.0)
-    best_anchor_per_gt = jnp.argmax(iou_rg, axis=1)  # (G,)
+    best_anchor_per_gt = jnp.argmax(iou, axis=1)  # (G,)
     force = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].set(is_real_gt)
     labels = jnp.where(force & fg, 1, labels)
 
     # --- ignore regions: background anchors w/ IoA >= thresh -> -1 (rpn.py:93-105) ---
-    ioa = box_ops.pairwise_ioa(jnp.where(is_ignore_gt[:, None], gt_boxes, 0.0), anchors)
-    ioa = jnp.where(is_ignore_gt[:, None], ioa, 0.0)
+    ioa = jnp.where(is_ignore_gt[:, None] & (area_a[None, :] > 0),
+                    inter / jnp.where(area_a > 0, area_a, 1.0)[None, :], 0.0)
     in_ignore = jnp.max(ioa, axis=0) >= ignore_thresh
     labels = jnp.where((labels == 0) & in_ignore, -1, labels)
 

@@ -327,3 +327,71 @@ class TestEvalBN:
             tol = mag * 2 ** -6 + 2 ** -14
         assert np.all(np.abs(got - want) <= tol + 1e-7), (
             float(np.abs(got - want).max()))
+
+
+class TestAnchorLabeling:
+    def test_fused_single_pass_matches_three_pass_form(self):
+        """r5: label_and_sample_anchors fuses its three (G, R) pairwise
+        coordinate sweeps (match IoU, best-anchor IoU, ignore IoA) around
+        ONE shared intersection matrix. The result must be bit-identical
+        to the original three-pass formulation (same rng -> same Gumbel
+        keys, so even the stochastic sampling masks must match)."""
+        from omni3d_tpu.models.rpn import (gumbel_topk_mask,
+                                           label_and_sample_anchors,
+                                           match_anchors)
+        from omni3d_tpu.utils import boxes as box_ops
+
+        rng_np = np.random.default_rng(0)
+        R, G = 600, 16
+        xy = rng_np.uniform(0, 200, (R, 2))
+        wh = rng_np.uniform(8, 80, (R, 2))
+        anchors = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+        gxy = rng_np.uniform(0, 200, (G, 2))
+        gwh = rng_np.uniform(8, 100, (G, 2))
+        gt_boxes = jnp.asarray(np.concatenate([gxy, gxy + gwh], -1), jnp.float32)
+        # mix of real classes, ignore regions (-1) and invalid padding
+        gt_classes = jnp.asarray(
+            rng_np.integers(-1, 5, G), jnp.int32)
+        gt_valid = jnp.asarray(rng_np.uniform(size=G) > 0.25)
+        key = jax.random.PRNGKey(3)
+        kw = dict(batch_size=64, positive_fraction=1.0,
+                  fg_thresh=0.05, ignore_thresh=0.5)
+
+        got = jax.jit(lambda k, a, b, c, v: label_and_sample_anchors(
+            k, a, b, c, v, **kw))(key, anchors, gt_boxes, gt_classes, gt_valid)
+
+        # --- original three-pass formulation ---
+        is_ignore_gt = gt_valid & (gt_classes < 0)
+        is_real_gt = gt_valid & (gt_classes >= 0)
+        matched_idx, matched_iou, fg = match_anchors(
+            anchors, gt_boxes, is_real_gt, kw["fg_thresh"])
+        rng_pos, rng_neg = jax.random.split(key)
+        num_pos = jnp.minimum(jnp.sum(fg), 64)
+        bg = ~fg
+        num_neg = jnp.minimum(jnp.sum(bg), 64 - num_pos)
+        logw = jnp.log(matched_iou + 1e-4)
+        pos_sel = gumbel_topk_mask(rng_pos, logw, num_pos, fg, max_k=64)
+        neg_sel = gumbel_topk_mask(rng_neg, logw, num_neg, bg, max_k=64)
+        labels = jnp.full(R, -1, jnp.int32)
+        labels = jnp.where(pos_sel, 1, labels)
+        labels = jnp.where(neg_sel, 0, labels)
+        iou_rg = box_ops.pairwise_iou(
+            jnp.where(is_real_gt[:, None], gt_boxes, 0.0), anchors)
+        iou_rg = jnp.where(is_real_gt[:, None], iou_rg, -1.0)
+        best = jnp.argmax(iou_rg, axis=1)
+        force = jnp.zeros(R, bool).at[best].set(is_real_gt)
+        labels = jnp.where(force & fg, 1, labels)
+        ioa = box_ops.pairwise_ioa(
+            jnp.where(is_ignore_gt[:, None], gt_boxes, 0.0), anchors)
+        ioa = jnp.where(is_ignore_gt[:, None], ioa, 0.0)
+        in_ignore = jnp.max(ioa, axis=0) >= kw["ignore_thresh"]
+        labels = jnp.where((labels == 0) & in_ignore, -1, labels)
+
+        np.testing.assert_array_equal(np.asarray(got["labels"]),
+                                      np.asarray(labels))
+        np.testing.assert_array_equal(np.asarray(got["matched_gt"]),
+                                      np.asarray(gt_boxes[matched_idx]))
+        np.testing.assert_allclose(np.asarray(got["matched_iou"]),
+                                   np.asarray(matched_iou), atol=1e-6)
+        # sanity: the case actually contains ignore regions and positives
+        assert bool(is_ignore_gt.any()) and int((np.asarray(labels) == 1).sum())

@@ -121,6 +121,67 @@ def main():
     t = timed(loss_fwd, (params, batch))
     rec("loss forward", t)
 
+    # 2b. forward sub-rungs: where the fwd - inference gap lives
+    from omni3d_tpu.models import anchors as anchor_lib
+    from omni3d_tpu.models.rcnn3d import FEATURE_NAMES, FEATURE_STRIDES
+    from omni3d_tpu.models.roi_training import label_and_sample_proposals
+    from omni3d_tpu.models.rpn import (label_and_sample_anchors,
+                                       select_proposals)
+
+    feats = jax.jit(lambda p, im: model.apply(
+        {"params": p, "batch_stats": bs}, im, method=CubeRCNN.features,
+        mutable=["batch_stats"])[0])(params, imgs)
+    flist = [feats[f] for f in FEATURE_NAMES]
+    logits, deltas = jax.jit(lambda p, f: model.apply(
+        {"params": p, "batch_stats": bs}, f, method=CubeRCNN.rpn))(params, flist)
+    logits = [l.astype(jnp.float32) for l in logits]
+    deltas = [d.astype(jnp.float32) for d in deltas]
+    anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
+        [(f.shape[1], f.shape[2]) for f in flist], FEATURE_STRIDES,
+        scfg.MODEL.ANCHOR_GENERATOR.SIZES,
+        scfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
+        scfg.MODEL.ANCHOR_GENERATOR.OFFSET)]
+    anchors_cat = jnp.concatenate(anchors, axis=0)
+
+    def lab_fn(gb, gc, gv):
+        rngs = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+        return jax.vmap(lambda r, b_, c_, v_: label_and_sample_anchors(
+            r, anchors_cat, b_, c_, v_,
+            batch_size=scfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=scfg.MODEL.RPN.POSITIVE_FRACTION,
+            fg_thresh=scfg.MODEL.RPN.IOU_THRESHOLDS[0],
+            ignore_thresh=scfg.MODEL.RPN.IGNORE_THRESHOLD,
+        ))(rngs, gb, gc, gv)
+    t = timed(lab_fn, (batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"]))
+    rec("  anchor label+sample", t)
+
+    def props_fn(logits, deltas, hw):
+        return jax.vmap(lambda lg, dl, h: select_proposals(
+            anchors, lg, dl, h,
+            scfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+            scfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+            scfg.MODEL.RPN.NMS_THRESH))(logits, deltas, hw)
+    t = timed(props_fn, (logits, deltas, batch["hw"].astype(jnp.float32)))
+    rec("  proposal select (train topk)", t)
+    prop_boxes, _, prop_valid = jax.jit(props_fn)(
+        logits, deltas, batch["hw"].astype(jnp.float32))
+
+    Csz = scfg.MODEL.ROI_HEADS.NUM_CLASSES
+
+    def samp_fn(prop_boxes, prop_valid, gb, gc, gv):
+        rngs = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+        return jax.vmap(lambda r, pb, pv, b_, c_, v_: label_and_sample_proposals(
+            r, pb, pv, b_, c_, v_, Csz,
+            batch_size=scfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=scfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            iou_thresh=scfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
+            ignore_thresh=scfg.MODEL.RPN.IGNORE_THRESHOLD,
+            append_gt=scfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
+        ))(rngs, prop_boxes, prop_valid, gb, gc, gv)
+    t = timed(samp_fn, (prop_boxes, prop_valid, batch["gt_boxes"],
+                        batch["gt_classes"], batch["gt_valid"]))
+    rec("  proposal sample (ROI)", t)
+
     # every weight-grad must be consumed or XLA DCEs its matmul and the
     # rung under-reports (grad leaf0 alone keeps only the dgrad chain)
     def _consume(tree):
