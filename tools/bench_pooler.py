@@ -27,7 +27,8 @@ def main():
         for s in STRIDES
     ]
     xy = rng.uniform(0, 400, (B, N, 2)).astype(np.float32)
-    wh = rng.uniform(8, 100, (B, N, 2)).astype(np.float32)
+    whmax = float(sys.argv[6]) if len(sys.argv) > 6 else 100.0
+    wh = rng.uniform(8, whmax, (B, N, 2)).astype(np.float32)
     boxes = jnp.asarray(np.concatenate([xy, np.minimum(xy + wh, 511)], -1))
 
     n = 10
