@@ -36,6 +36,48 @@ def calibrate_rtt(n: int = 10, reps: int = 3) -> float:
     return best
 
 
+def timed_scan(fn, args, n: int, rtt: float, consume: str = "elem",
+               reps: int = 2) -> float:
+    """Canonical DCE-proof scan harness: per-iteration seconds of
+    fn(*args), RTT-subtracted (raw — possibly <= 0 below the noise floor).
+
+    Builds the jitted n-iteration `lax.scan` with the full measurement
+    discipline (PERF.md Methodology) in ONE place:
+      * every inexact input leaf is perturbed by the carry (else XLA
+        hoists non-dependent compute out of the scan);
+      * outputs are consumed per `consume`: "elem" takes one element of
+        EVERY leaf (multi-op stages — sibling outputs stay alive),
+        "sum" reduces every leaf fully (single-op microbenches — blocks
+        the slice-pushdown that otherwise shrinks a lone conv/gather to
+        one output element).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            perturbed = jax.tree.map(
+                lambda leaf: leaf + carry.astype(leaf.dtype) * 1e-12
+                if jnp.issubdtype(leaf.dtype, jnp.inexact) else leaf,
+                args,
+            )
+            out = fn(*perturbed)
+            acc = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                if consume == "sum":
+                    acc = acc + leaf.sum().astype(jnp.float32)
+                else:
+                    acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            return carry + acc * 1e-12, ()
+
+        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    return timed_call(run, args, n, rtt, reps)
+
+
 def timed_call(run, args, n: int, rtt: float, reps: int = 2) -> float:
     """Per-iteration seconds of `run(args)` (a compiled n-iteration scan),
     with the fixed per-call RTT subtracted. Takes the min over reps.

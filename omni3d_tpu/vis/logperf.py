@@ -165,8 +165,11 @@ def _is_per_category(metric: str) -> bool:
 
 def print_cross_dataset_table(summary: dict, title: str = "Cross-dataset"):
     """Group `summarize_all`'s "<split>/<metric>" flat keys into one row per
-    split (Concat / Omni3D / Omni3D_In / Omni3D_Out) before tabulating
-    (reference logperf.print_ap_omni_histogram layout)."""
+    split (Concat / Omni3D / Omni3D_In / Omni3D_Out), then print BOTH
+    reference tables: the full analysis histogram (IoU-threshold and
+    depth-split columns) and the AP2D/AP3D Omni3D headline table
+    (reference logperf.print_ap_analysis_histogram +
+    print_ap_omni_histogram)."""
     grouped: dict = {}
     for k, v in summary.items():
         split, _, metric = k.partition("/")
@@ -177,6 +180,7 @@ def print_cross_dataset_table(summary: dict, title: str = "Cross-dataset"):
           .replace("AP3D-far", "AP3D-F")] = v
     if title:
         print(title)
+    print_ap_analysis_histogram(grouped)
     print_ap_omni_histogram(grouped)
 
 

@@ -164,8 +164,10 @@ class TestEndToEnd:
 
         # every kept detection's box must appear among the decode-all
         # candidates (same math, different fusion: tolerance is float
-        # rounding, ~1e-5 of a 128px coordinate), with its score found
-        # bit-exactly in the same top-k score list
+        # rounding, ~1e-5 of a 128px coordinate), and its score in the
+        # same top-k score list (tolerance rather than bit equality —
+        # compiled-vs-eager softmax/top_k can differ in the last ulp on
+        # some backends)
         kept = np.asarray(out["valid"]).astype(bool)
         det_boxes = np.asarray(out["boxes"])[kept]
         det_scores = np.asarray(out["scores"])[kept]
@@ -173,7 +175,7 @@ class TestEndToEnd:
         top_np = np.asarray(top_scores)
         for b, s in zip(det_boxes, det_scores):
             assert np.abs(cand_np - b).max(axis=1).min() < 1e-3, b
-            assert (top_np == s).any(), s
+            assert np.abs(top_np - s).min() < 1e-6, s
 
     def test_per_image_clipping_in_padded_batch(self):
         """Boxes in a mixed-size batch clip to each image's own net extent,

@@ -34,24 +34,16 @@ def main():
     import jax.numpy as jnp
     from jax import lax as jlax
 
-    from omni3d_tpu.utils.benchtime import calibrate_rtt, timed_call
+    from omni3d_tpu.utils.benchtime import calibrate_rtt, timed_scan
 
     rtt = calibrate_rtt()
     print(f"backend={jax.default_backend()} rtt={rtt*1e3:.1f}ms",
           file=sys.stderr)
 
     def timed_sum(f, args, n=10):
-        @jax.jit
-        def run(args):
-            def body(c, _):
-                pert = jax.tree.map(
-                    lambda l: l + c.astype(l.dtype) * 1e-12
-                    if jnp.issubdtype(l.dtype, jnp.inexact) else l, args)
-                out = f(*pert)
-                return c + out.sum().astype(jnp.float32) * 1e-12, ()
-            c, _ = jlax.scan(body, jnp.float32(0), None, length=n)
-            return c
-        return max(timed_call(run, args, n, rtt), 1e-9)
+        # consume="sum": single ops need FULL output consumption or the
+        # slice pushdown shrinks them (module docstring)
+        return max(timed_scan(f, args, n, rtt, consume="sum"), 1e-9)
 
     B = 32
     rng = np.random.default_rng(0)

@@ -12,7 +12,6 @@ winners (every global top-k element is within the top-k of its group).
 Usage: python tools/bench_topk.py
 """
 import sys
-import time
 
 import numpy as np
 
@@ -20,42 +19,16 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, args, n=20):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    @jax.jit
-    def run(args):
-        def body(carry, _):
-            # perturb every inexact input and consume one element of EVERY
-            # output leaf — with only the first leaf consumed, the index
-            # path of two_stage (take_along_axis, group-offset arithmetic)
-            # is dead w.r.t. the values leaf and XLA eliminates it,
-            # under-reporting two-stage cost (advisor r4, the same DCE
-            # failure mode fixed in profile_stages.py/bench.py)
-            perturbed = jax.tree.map(
-                lambda leaf: leaf + carry.astype(leaf.dtype) * 1e-12
-                if jnp.issubdtype(leaf.dtype, jnp.inexact) else leaf,
-                args,
-            )
-            out = fn(*perturbed)
-            acc = jnp.float32(0)
-            for leaf in jax.tree.leaves(out):
-                acc = acc + leaf.ravel()[0].astype(jnp.float32)
-            return carry + acc * 1e-12, ()
-
-        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
-        return c
-
-    from omni3d_tpu.utils.benchtime import calibrate_rtt
+    """Shared DCE-proof harness (utils/benchtime.timed_scan): perturbs
+    every inexact input and consumes one element of EVERY output leaf —
+    with only the first leaf consumed, the index path of two_stage is dead
+    w.r.t. the values leaf and XLA eliminates it (advisor r4)."""
+    from omni3d_tpu.utils.benchtime import calibrate_rtt, timed_scan
 
     global _RTT
     if _RTT is None:
         _RTT = calibrate_rtt()
-    float(run(args))
-    t0 = time.perf_counter()
-    float(run(args))
-    return max(time.perf_counter() - t0 - _RTT, 1e-9) / n
+    return max(timed_scan(fn, args, n, _RTT), 1e-9)
 
 
 _RTT = None

@@ -33,7 +33,7 @@ def main():
 
     from omni3d_tpu.config.cfg import StaticCfg
     from omni3d_tpu.config.defaults import get_default_cfg
-    from omni3d_tpu.models.dla import DLA, Tree, DLA_SPECS
+    from omni3d_tpu.models.dla import Tree, DLA_SPECS
     from omni3d_tpu.models.layers import ConvBN, max_pool
     from omni3d_tpu.models.fpn import FPN
     from omni3d_tpu.models.rcnn3d import CubeRCNN, preprocess
@@ -75,18 +75,33 @@ def main():
     levels, channels, block = DLA_SPECS["dla34"]
     t = dict(train=False, dtype=jnp.bfloat16)
 
-    stages = {}
     results = []
 
-    def rec(name, fn, args, flops=None, bytes_est=None):
+    def _bytes_of(fn, args):
+        """HBM traffic floor: input + output activation bytes (weights and
+        intermediates excluded — a lower bound for the memory roofline)."""
+        import jax as _j
+        n = sum(np.prod(l.shape) * l.dtype.itemsize
+                for l in _j.tree.leaves(args))
+        try:
+            out = _j.eval_shape(fn, *args)
+            n += sum(np.prod(l.shape) * np.dtype(l.dtype).itemsize
+                     for l in _j.tree.leaves(out))
+        except Exception:
+            pass
+        return float(n)
+
+    def rec(name, fn, args, flops=None):
         ms = timed(fn, args) * 1e3
         fl = flops_of(fn, args) if flops is None else flops
+        bytes_est = _bytes_of(fn, args)
         roof_c = fl / PEAK_TFLOPS / 1e9 if fl else 0.0     # ms
-        roof_m = (bytes_est / HBM_GBPS / 1e6) if bytes_est else 0.0
+        roof_m = bytes_est / HBM_GBPS / 1e6                # ms
         limit = "MXU" if roof_c >= roof_m else "HBM"
         roof = max(roof_c, roof_m)
         results.append({
             "block": name, "ms": ms, "gflop": fl / 1e9 if fl else 0.0,
+            "io_bytes_est": bytes_est,
             "roofline_ms": roof, "roofline_limit": limit,
             "pct_of_roofline": roof / ms * 100 if ms > 0 else None,
         })

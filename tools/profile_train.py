@@ -14,40 +14,14 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, args, n=10):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    @jax.jit
-    def run(args):
-        def body(carry, _):
-            # perturb EVERY inexact leaf: with only one perturbed leaf XLA
-            # hoists all compute not downstream of it out of the scan and
-            # the rung under-reports (observed 2x vs the threaded-state
-            # bench_train methodology)
-            perturbed = jax.tree.map(
-                lambda leaf: leaf + carry.astype(leaf.dtype) * 1e-12
-                if jnp.issubdtype(leaf.dtype, jnp.inexact) else leaf,
-                args,
-            )
-            out = fn(*perturbed)
-            # consume ONE element of EVERY output leaf: forcing only the
-            # first leaf lets XLA dead-code-eliminate sibling outputs
-            acc = jnp.float32(0)
-            for leaf in jax.tree.leaves(out):
-                acc = acc + leaf.ravel()[0].astype(jnp.float32)
-            return carry + acc * 1e-12, ()
-
-        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
-        return c
-
-    from omni3d_tpu.utils.benchtime import calibrate_rtt, timed_call
+    """Shared DCE-proof harness (utils/benchtime.timed_scan)."""
+    from omni3d_tpu.utils.benchtime import calibrate_rtt, timed_scan
 
     global _RTT
     if _RTT is None:
         _RTT = calibrate_rtt()
         print(f"calibrated per-call RTT: {_RTT*1e3:.2f} ms", file=sys.stderr)
-    return timed_call(run, args, n, _RTT)
+    return timed_scan(fn, args, n, _RTT)
 
 
 _RTT = None
