@@ -214,17 +214,18 @@ class DLA(nn.Module):
 
         # s2d=4: the full-resolution stem convs (C=3..16) underfill MXU
         # lanes; evaluate them in space-to-depth form (exact, see layers.Conv).
-        # At inference the two stem convs chain in PACKED form (BN affine and
-        # relu tile per-channel onto packed channels), skipping the
-        # unpack/repack relayout between them — worth ~4 ms at bs=32/512px.
-        # At inference the whole stem chains in PACKED space-to-depth form
-        # (BN affine and relu tile per-channel onto packed channels): the
-        # stride-2 level1 conv halves the packing factor (F 4 -> 2) and
-        # level2's entry (phase max-pool + packed tree1 conv1) exits the
-        # packed domain at stride 4 — no unpack/repack relayouts between, the
-        # stem's pack transpose is the only one left. Exact arithmetic; the
-        # chain needs levels[2]==1 basic blocks (DLA-34 family).
-        packed = (not self.train) and self.stem_s2d == 4 and block == "basic" \
+        # The whole stem chains in PACKED space-to-depth form (BN and relu
+        # act per-channel on packed channels): the stride-2 level1 conv
+        # halves the packing factor (F 4 -> 2) and level2's entry (phase
+        # max-pool + packed tree1 conv1) exits the packed domain at stride
+        # 4 — no unpack/repack relayouts between, the stem's pack transpose
+        # is the only one left. Exact arithmetic; the chain needs
+        # levels[2]==1 basic blocks (DLA-34 family). Worth ~4 ms at
+        # bs=32/512px inference; since r5 the packed chain also runs in
+        # TRAINING (batch stats computed per real channel on the packed
+        # layout, layers._TrainPackedBN) — packed vs plain stem fwd+bwd
+        # measured 17.4 vs 26.1 ms at bs=32.
+        packed = self.stem_s2d == 4 and block == "basic" \
             and levels[2] == 1 \
             and x.shape[1] % self.stem_s2d == 0 and x.shape[2] % self.stem_s2d == 0
         x = ConvBN(channels[0], 7, 1, s2d=self.stem_s2d, out_packed=packed,

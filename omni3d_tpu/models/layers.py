@@ -192,6 +192,53 @@ class _EvalBN(nn.Module):
         return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
+class _TrainPackedBN(nn.Module):
+    """Train-mode BatchNorm on an s2d-PACKED tensor.
+
+    The packed channel order is (alpha, beta, C) with real channels
+    fastest, so per-real-channel batch statistics are the reduction over
+    (batch, space, phases) of the (..., F*F, C) view — mathematically the
+    same mean/var the unpacked layout yields (the packed tensor is a
+    permutation of the same values). Running stats follow the flax/torch
+    convention of the unpacked path (momentum 0.9 flax = 0.1 torch,
+    biased batch variance, eps 1e-5); normalization is applied as the
+    per-channel affine x*a + b with a,b derived from the BATCH stats, so
+    autodiff produces the exact BatchNorm gradient. Variable names/shapes
+    match nn.BatchNorm/_EvalBN — checkpoints interchange and the packed
+    and unpacked stem paths share parameters."""
+
+    dtype: Any = jnp.float32
+    packed_tile: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        t2 = self.packed_tile * self.packed_tile
+        C = x.shape[-1] // t2
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda *_: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda *_: jnp.ones((C,), jnp.float32))
+
+        xr = x.astype(jnp.float32).reshape(x.shape[:-1] + (t2, C))
+        mean = jnp.mean(xr, axis=(0, 1, 2, 3))
+        mean2 = jnp.mean(jnp.square(xr), axis=(0, 1, 2, 3))
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        if not self.is_initializing():
+            ra_mean.value = (0.9 * ra_mean.value
+                             + 0.1 * jax.lax.stop_gradient(mean))
+            ra_var.value = (0.9 * ra_var.value
+                            + 0.1 * jax.lax.stop_gradient(var))
+
+        a = scale * jax.lax.rsqrt(var + 1e-5)
+        b = bias - mean * a
+        if t2 > 1:
+            a = jnp.tile(a, t2)
+            b = jnp.tile(b, t2)
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
+
+
 class BatchNorm(nn.Module):
     """torch-semantics BatchNorm2d: eps=1e-5, momentum=0.1 (flax 0.9)."""
 
@@ -204,7 +251,12 @@ class BatchNorm(nn.Module):
         if self.use_running_average:
             return _EvalBN(dtype=self.dtype, packed_tile=self.packed_tile,
                            name="bn")(x)
-        assert self.packed_tile == 1, "packed stem is an eval-only fast path"
+        if self.packed_tile > 1:
+            # train-mode stats on the packed stem layout (r5: the packed
+            # stem previously fell back to the unpacked path in training,
+            # costing ~8.7 ms/step fwd+bwd at bs=32)
+            return _TrainPackedBN(dtype=self.dtype,
+                                  packed_tile=self.packed_tile, name="bn")(x)
         return nn.BatchNorm(
             use_running_average=False,
             momentum=0.9,

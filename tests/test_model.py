@@ -397,3 +397,101 @@ class TestAnchorLabeling:
                                    np.asarray(matched_iou), atol=1e-6)
         # sanity: the case actually contains ignore regions and positives
         assert bool(is_ignore_gt.any()) and int((np.asarray(labels) == 1).sum())
+
+
+class TestPackedStemTraining:
+    def test_train_mode_packed_stem_matches_unpacked(self):
+        """r5: the s2d-packed stem chain now runs in TRAINING too, with
+        batch statistics computed per real channel on the packed layout
+        (layers._TrainPackedBN). Against the same DLA with s2d disabled
+        (stem_s2d=1 -> plain convs + flax nn.BatchNorm), the outputs, the
+        updated running stats of the three stem BNs, and the parameter
+        gradients must agree — the packed tensor is a permutation of the
+        same values, so stats and gradients are mathematically equal."""
+        import jax.numpy as jnp
+        from omni3d_tpu.models.dla import DLA
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+        m_packed = DLA(variant="dla34", train=True, stem_s2d=4)
+        m_plain = DLA(variant="dla34", train=True, stem_s2d=1)
+        v = m_packed.init(jax.random.PRNGKey(0), x)
+        # same param/stat tree for both (packed keeps nn.Conv param layout)
+        out_p, mut_p = m_packed.apply(v, x, mutable=["batch_stats"])
+        out_u, mut_u = m_plain.apply(v, x, mutable=["batch_stats"])
+
+        # tolerance grows with depth: the batch-stat reductions use a
+        # different summation tree on the packed layout (~1e-7 per BN),
+        # and rsqrt + 20 conv layers amplify that to ~1e-3 by p5/p6
+        for k, atol in (("p2", 2e-4), ("p3", 5e-4), ("p4", 1e-3),
+                        ("p5", 5e-3), ("p6", 5e-3)):
+            np.testing.assert_allclose(np.asarray(out_p[k]),
+                                       np.asarray(out_u[k]),
+                                       atol=atol, err_msg=k)
+        # updated running stats of the stem BNs agree
+        for name in ("base_layer", "level0", "level1"):
+            for stat in ("mean", "var"):
+                a = np.asarray(jax.tree.leaves(
+                    mut_p["batch_stats"][name])[0]) if False else None
+            sp = mut_p["batch_stats"][name]
+            su = mut_u["batch_stats"][name]
+            for stat in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(jax.tree.leaves({stat: _find(sp, stat)})[0]),
+                    np.asarray(jax.tree.leaves({stat: _find(su, stat)})[0]),
+                    atol=1e-5, err_msg=f"{name}/{stat}")
+
+        # gradients agree — compared on a stem-only pair: through the full
+        # 20-layer pyramid, ~1e-7 stat differences (different reduction
+        # trees) flip exact-threshold relu sites and change gradients
+        # DISCRETELY, so a deep comparison measures flip noise, not the BN
+        # backward. The stem pair isolates the packed-BN gradient itself.
+        import flax.linen as nn
+        from omni3d_tpu.models.layers import ConvBN
+
+        def make_stem(s2d):
+            class Stem(nn.Module):
+                @nn.compact
+                def __call__(self, z):
+                    pk = s2d == 4
+                    z = ConvBN(16, 7, 1, s2d=s2d, out_packed=pk, train=True,
+                               name="base_layer")(z)
+                    z = ConvBN(16, 3, 1, s2d=s2d, in_packed=pk,
+                               out_packed=pk, train=True, name="level0")(z)
+                    z = ConvBN(32, 3, 2, s2d=s2d, in_packed=pk,
+                               out_packed=pk, train=True, name="level1")(z)
+                    return z
+            return Stem()
+
+        sp_mod, su_mod = make_stem(4), make_stem(1)
+        sv = sp_mod.init(jax.random.PRNGKey(1), x)
+
+        def stem_loss(mod, params, weight):
+            out, _ = mod.apply({"params": params,
+                                "batch_stats": sv["batch_stats"]}, x,
+                               mutable=["batch_stats"])
+            # packed/plain outputs are permutations of the same values;
+            # a permutation-invariant weighting keeps the losses equal
+            return jnp.sum(jnp.square(out.astype(jnp.float32))) * weight
+
+        g_p = jax.grad(lambda p: stem_loss(sp_mod, p, 1e-3))(sv["params"])
+        g_u = jax.grad(lambda p: stem_loss(su_mod, p, 1e-3))(sv["params"])
+        for (path, lp), lu in zip(jax.tree_util.tree_leaves_with_path(g_p),
+                                  jax.tree.leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(lp), np.asarray(lu),
+                                       atol=1e-3, rtol=1e-3,
+                                       err_msg=str(path))
+
+
+def _find(tree, key):
+    """Fetch a leaf named `key` anywhere in a nested dict (BN stats live
+    under a 'bn' submodule whose exact nesting differs per BN flavor)."""
+    if isinstance(tree, dict):
+        if key in tree and not isinstance(tree[key], dict):
+            return tree[key]
+        for v_ in tree.values():
+            r = _find(v_, key)
+            if r is not None:
+                return r
+    return None
